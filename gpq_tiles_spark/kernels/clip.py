@@ -1,0 +1,232 @@
+"""Geometry clipping to (buffered) tile bounds — numpy kernels.
+
+Semantics mirror /root/reference/crates/core/src/clip.rs:
+* buffered bounds = bounds +- buffer degrees (clip.rs:47-58)
+* point: inclusive containment (clip.rs:103-113)
+* linestring: rect intersection; 1 surviving part -> LineString else
+  MultiLineString (clip.rs:119-151)
+* polygon: bbox fast paths; Sutherland-Hodgman per ring against the four
+  axis edges, re-close, drop rings < 3 pts (clip.rs:189-324)
+* multipolygon: per-part, None if all empty (clip.rs:327-356)
+
+Coordinates stay f64 throughout; intersection parameter t computed exactly as
+the reference does, edge order Left, Right, Bottom, Top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import (
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+    bbox,
+)
+
+
+def buffer_pixels_to_degrees(buffer_pixels: float, lng_min: float, lng_max: float, extent: int) -> float:
+    """bounds.width * buffer_px / extent — width-based, so the same degree
+    value applies on both axes (clip.rs:88-92)."""
+    return (lng_max - lng_min) * buffer_pixels / extent
+
+
+def _clip_edge(pts: np.ndarray, axis: int, bound: float, keep_ge: bool) -> np.ndarray:
+    """Sutherland-Hodgman against one axis-aligned edge, vectorized.
+
+    For each vertex pair (current, next): emit current if inside; emit the
+    intersection when the edge crosses. Output order matches the reference's
+    scalar loop (clip.rs:290-323).
+    """
+    n = len(pts)
+    if n == 0:
+        return pts
+    cur = pts
+    nxt = np.roll(pts, -1, axis=0)
+    if keep_ge:
+        inside_cur = cur[:, axis] >= bound
+        inside_nxt = nxt[:, axis] >= bound
+    else:
+        inside_cur = cur[:, axis] <= bound
+        inside_nxt = nxt[:, axis] <= bound
+
+    crossing = inside_cur != inside_nxt
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (bound - cur[:, axis]) / (nxt[:, axis] - cur[:, axis])
+        inter = cur + t[:, None] * (nxt - cur)
+    inter[:, axis] = bound
+
+    # Each input vertex i contributes: [cur_i if inside_cur] + [inter_i if crossing]
+    emit_cur = inside_cur
+    emit_int = crossing
+    counts = emit_cur.astype(np.int64) + emit_int.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty((0, 2), dtype=np.float64)
+    out = np.empty((total, 2), dtype=np.float64)
+    pos = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out[pos[emit_cur]] = cur[emit_cur]
+    int_pos = pos + emit_cur.astype(np.int64)
+    out[int_pos[emit_int]] = inter[emit_int]
+    return out
+
+
+def sutherland_hodgman(ring: np.ndarray, lng_min: float, lat_min: float,
+                       lng_max: float, lat_max: float) -> np.ndarray:
+    """Clip a ring against the rect; re-close if needed (clip.rs:227-290).
+
+    The reference clips the raw coordinate list including its closing
+    duplicate point, treating it as a cyclic vertex list.
+    """
+    out = np.asarray(ring, dtype=np.float64)
+    out = _clip_edge(out, 0, lng_min, True)
+    out = _clip_edge(out, 0, lng_max, False)
+    out = _clip_edge(out, 1, lat_min, True)
+    out = _clip_edge(out, 1, lat_max, False)
+    if len(out) and not np.array_equal(out[0], out[-1]):
+        out = np.vstack([out, out[:1]])
+    return out
+
+
+def _clip_segments(lines: list[np.ndarray], lng_min: float, lat_min: float,
+                   lng_max: float, lat_max: float) -> list[np.ndarray]:
+    """Clip linestrings to a rect (Cohen–Sutherland style per segment, merged
+    into maximal runs). The reference delegates to geo BooleanOps clip
+    (clip.rs:140-151); for an axis-aligned rect the result is the same set of
+    in-rect sub-paths, with vertices on the boundary at crossings."""
+    out: list[np.ndarray] = []
+    for ls in lines:
+        a = np.asarray(ls, dtype=np.float64)
+        if len(a) < 2:
+            continue
+        p0 = a[:-1]
+        p1 = a[1:]
+        d = p1 - p0
+        # Liang-Barsky per segment, vectorized over all segments of the line.
+        # Edge params: p_e < 0 entering (t0 = max), p_e > 0 leaving (t1 = min),
+        # p_e == 0 with q_e < 0 -> fully outside that edge.
+        t0 = np.zeros(len(p0))
+        t1 = np.ones(len(p0))
+        for p_e, q_e in (
+            (-d[:, 0], p0[:, 0] - lng_min),
+            (d[:, 0], lng_max - p0[:, 0]),
+            (-d[:, 1], p0[:, 1] - lat_min),
+            (d[:, 1], lat_max - p0[:, 1]),
+        ):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(p_e != 0, q_e / np.where(p_e == 0, 1.0, p_e), 0.0)
+            t0 = np.where(p_e < 0, np.maximum(t0, r), t0)
+            t1 = np.where(p_e > 0, np.minimum(t1, r), t1)
+            reject = (p_e == 0) & (q_e < 0)
+            t0 = np.where(reject, 1.0, t0)
+            t1 = np.where(reject, 0.0, t1)
+        visible = t0 < t1  # strictly: zero-length touches add no path
+        if not visible.any():
+            continue
+        starts = p0 + t0[:, None] * d
+        ends = p0 + t1[:, None] * d
+        # stitch consecutive visible segments whose shared vertex is untouched
+        run_pts: list[np.ndarray] = []
+        prev_end_idx = -2
+        for i in np.nonzero(visible)[0]:
+            s_pt, e_pt = starts[i], ends[i]
+            contiguous = (
+                i == prev_end_idx + 1
+                and run_pts
+                and np.allclose(run_pts[-1], s_pt, rtol=0, atol=0)
+            )
+            if contiguous:
+                run_pts.append(e_pt)
+            else:
+                if len(run_pts) >= 2:
+                    out.append(np.array(run_pts))
+                run_pts = [s_pt, e_pt]
+            prev_end_idx = i
+        if len(run_pts) >= 2:
+            arr = np.array(run_pts)
+            # drop zero-length degenerate results
+            if not np.array_equal(arr.min(axis=0), arr.max(axis=0)) or len(arr) > 2:
+                out.append(arr)
+            elif not np.array_equal(arr[0], arr[1]):
+                out.append(arr)
+    return out
+
+
+def clip_geometry(g: Geom, lng_min: float, lat_min: float, lng_max: float,
+                  lat_max: float, buffer_deg: float) -> Geom | None:
+    """Clip to buffered bounds; None when nothing survives (clip.rs:47-75)."""
+    bx0 = lng_min - buffer_deg
+    by0 = lat_min - buffer_deg
+    bx1 = lng_max + buffer_deg
+    by1 = lat_max + buffer_deg
+    t, d = g
+
+    gx0, gy0, gx1, gy1 = bbox(g)
+    if gx1 < bx0 or gx0 > bx1 or gy1 < by0 or gy0 > by1:
+        return None
+
+    if t == POINT:
+        x, y = float(d[0]), float(d[1])
+        if bx0 <= x <= bx1 and by0 <= y <= by1:
+            return g
+        return None
+
+    if t == MULTIPOINT:
+        a = np.asarray(d)
+        m = (a[:, 0] >= bx0) & (a[:, 0] <= bx1) & (a[:, 1] >= by0) & (a[:, 1] <= by1)
+        if not m.any():
+            return None
+        return (MULTIPOINT, a[m])
+
+    if t in (LINESTRING, MULTILINESTRING):
+        lines = [d] if t == LINESTRING else d
+        clipped = _clip_segments(lines, bx0, by0, bx1, by1)
+        if not clipped:
+            return None
+        if len(clipped) == 1:
+            return (LINESTRING, clipped[0])
+        return (MULTILINESTRING, clipped)
+
+    if t == POLYGON:
+        return _clip_polygon(d, bx0, by0, bx1, by1, (gx0, gy0, gx1, gy1))
+
+    if t == MULTIPOLYGON:
+        if gx0 >= bx0 and gx1 <= bx1 and gy0 >= by0 and gy1 <= by1:
+            return g  # fully inside fast path (clip.rs:334-341)
+        parts = []
+        for rings in d:
+            sub = _clip_polygon(rings, bx0, by0, bx1, by1, None)
+            if sub is not None:
+                parts.append(sub[1])
+        if not parts:
+            return None
+        return (MULTIPOLYGON, parts)
+
+    return None
+
+
+def _clip_polygon(rings: list[np.ndarray], bx0, by0, bx1, by1, pre_bbox) -> Geom | None:
+    if pre_bbox is None:
+        xs = np.concatenate([np.asarray(r)[:, 0] for r in rings])
+        ys = np.concatenate([np.asarray(r)[:, 1] for r in rings])
+        gx0, gy0, gx1, gy1 = xs.min(), ys.min(), xs.max(), ys.max()
+    else:
+        gx0, gy0, gx1, gy1 = pre_bbox
+    if gx1 < bx0 or gx0 > bx1 or gy1 < by0 or gy0 > by1:
+        return None
+    # fully-inside fast path (clip.rs:196-203)
+    if gx0 >= bx0 and gx1 <= bx1 and gy0 >= by0 and gy1 <= by1:
+        return (POLYGON, rings)
+    ext = sutherland_hodgman(rings[0], bx0, by0, bx1, by1)
+    if len(ext) < 3:
+        return None
+    out_rings = [ext]
+    for hole in rings[1:]:
+        ch = sutherland_hodgman(hole, bx0, by0, bx1, by1)
+        if len(ch) >= 3:
+            out_rings.append(ch)
+    return (POLYGON, out_rings)

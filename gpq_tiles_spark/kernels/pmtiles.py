@@ -1,0 +1,398 @@
+"""PMTiles v3 archive encoding — header, directory, run-length, metadata.
+
+Byte layouts mirror /root/reference/crates/core/src/pmtiles_writer.rs:
+* 127-byte header (pmtiles_writer.rs:111-159): magic "PMTiles", version 3,
+  8 u64 offset/length fields, counts, clustered flag, compression codes
+  (Unknown=0 None=1 Gzip=2 Brotli=3 Zstd=4, compression.rs:21-30), tile type,
+  zooms, bounds as i32 coord*10^7 LE, center.
+* Columnar varint directory with delta tile_ids and 0/offset+1 offset
+  encoding (pmtiles_writer.rs:264-320).
+* Run-length coalescing of consecutive tile_ids sharing one blob
+  (pmtiles_writer.rs:654-665).
+* JSON metadata {vector_layers:[...], format: "pbf", ...} with fields sorted
+  by name (pmtiles_writer.rs:464-493).
+
+Only gzip is available in this environment; zstd/brotli codes are defined but
+raise at compress time (gated, like the reference's feature flags).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAGIC = b"PMTiles"
+VERSION = 3
+HEADER_SIZE = 127
+
+COMPRESSION_UNKNOWN = 0
+COMPRESSION_NONE = 1
+COMPRESSION_GZIP = 2
+COMPRESSION_BROTLI = 3
+COMPRESSION_ZSTD = 4
+
+TILETYPE_MVT = 1
+
+
+def compress(data: bytes, codec: int) -> bytes:
+    if codec == COMPRESSION_NONE:
+        return data
+    if codec == COMPRESSION_GZIP:
+        # flate2 default level is 6; mtime pinned to 0 for determinism
+        return gzip.compress(data, compresslevel=6, mtime=0)
+    raise NotImplementedError(
+        f"compression codec {codec} not available in this environment (gzip only)"
+    )
+
+
+def decompress(data: bytes, codec: int) -> bytes:
+    if codec == COMPRESSION_NONE:
+        return data
+    if codec == COMPRESSION_GZIP:
+        return gzip.decompress(data)
+    raise NotImplementedError(f"compression codec {codec}")
+
+
+def encode_varint(value: int, out: bytearray) -> None:
+    while value >= 0x80:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    out.append(value)
+
+
+def decode_varint(data: bytes, i: int) -> tuple[int, int]:
+    res = 0
+    shift = 0
+    while True:
+        b = data[i]
+        res |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return res, i
+        shift += 7
+
+
+@dataclass
+class DirEntry:
+    tile_id: int
+    offset: int
+    length: int
+    run_length: int = 1
+
+
+def coalesce_run_lengths(entries: list[DirEntry]) -> list[DirEntry]:
+    """Consecutive tile_ids pointing at the same (offset, length) extend
+    run_length instead of adding an entry (pmtiles_writer.rs:654-665)."""
+    out: list[DirEntry] = []
+    for e in entries:
+        if (
+            out
+            and e.offset == out[-1].offset
+            and e.length == out[-1].length
+            and e.tile_id == out[-1].tile_id + out[-1].run_length
+        ):
+            out[-1].run_length += e.run_length
+        else:
+            out.append(DirEntry(e.tile_id, e.offset, e.length, e.run_length))
+    return out
+
+
+def encode_directory(entries: list[DirEntry]) -> bytes:
+    """Columnar varint: count, delta tile_ids, run_lengths, lengths, offsets
+    (0 when contiguous, else offset+1) (pmtiles_writer.rs:274-320)."""
+    out = bytearray()
+    encode_varint(len(entries), out)
+    if not entries:
+        return bytes(out)
+    last = 0
+    for e in entries:
+        encode_varint(e.tile_id - last, out)
+        last = e.tile_id
+    for e in entries:
+        encode_varint(e.run_length, out)
+    for e in entries:
+        encode_varint(e.length, out)
+    expected = 0
+    for i, e in enumerate(entries):
+        if i > 0 and e.offset == expected:
+            encode_varint(0, out)
+        else:
+            encode_varint(e.offset + 1, out)
+        if e.run_length > 0:
+            expected = e.offset + e.length
+    return bytes(out)
+
+
+def decode_directory(data: bytes) -> list[DirEntry]:
+    n, i = decode_varint(data, 0)
+    ids = []
+    last = 0
+    for _ in range(n):
+        d, i = decode_varint(data, i)
+        last += d
+        ids.append(last)
+    runs = []
+    for _ in range(n):
+        v, i = decode_varint(data, i)
+        runs.append(v)
+    lengths = []
+    for _ in range(n):
+        v, i = decode_varint(data, i)
+        lengths.append(v)
+    offsets = []
+    expected = 0
+    for k in range(n):
+        v, i = decode_varint(data, i)
+        if v == 0 and k > 0:
+            off = expected
+        else:
+            off = v - 1
+        offsets.append(off)
+        if runs[k] > 0:
+            expected = off + lengths[k]
+    return [DirEntry(ids[k], offsets[k], lengths[k], runs[k]) for k in range(n)]
+
+
+@dataclass
+class Header:
+    root_dir_offset: int = HEADER_SIZE
+    root_dir_length: int = 0
+    json_metadata_offset: int = 0
+    json_metadata_length: int = 0
+    leaf_dirs_offset: int = 0
+    leaf_dirs_length: int = 0
+    tile_data_offset: int = 0
+    tile_data_length: int = 0
+    addressed_tiles_count: int = 0
+    tile_entries_count: int = 0
+    tile_contents_count: int = 0
+    clustered: bool = True
+    internal_compression: int = COMPRESSION_GZIP
+    tile_compression: int = COMPRESSION_GZIP
+    tile_type: int = TILETYPE_MVT
+    min_zoom: int = 0
+    max_zoom: int = 14
+    min_lon: float = -180.0
+    min_lat: float = -85.0
+    max_lon: float = 180.0
+    max_lat: float = 85.0
+    center_zoom: int = 0
+    center_lon: float = 0.0
+    center_lat: float = 0.0
+
+    def to_bytes(self) -> bytes:
+        buf = bytearray(HEADER_SIZE)
+        buf[0:7] = MAGIC
+        buf[7] = VERSION
+        struct.pack_into(
+            "<8Q", buf, 8,
+            self.root_dir_offset, self.root_dir_length,
+            self.json_metadata_offset, self.json_metadata_length,
+            self.leaf_dirs_offset, self.leaf_dirs_length,
+            self.tile_data_offset, self.tile_data_length,
+        )
+        struct.pack_into(
+            "<3Q", buf, 72,
+            self.addressed_tiles_count, self.tile_entries_count, self.tile_contents_count,
+        )
+        buf[96] = 1 if self.clustered else 0
+        buf[97] = self.internal_compression
+        buf[98] = self.tile_compression
+        buf[99] = self.tile_type
+        buf[100] = self.min_zoom
+        buf[101] = self.max_zoom
+
+        def enc(v: float) -> int:
+            return int(v * 10_000_000.0)
+
+        struct.pack_into(
+            "<4i", buf, 102, enc(self.min_lon), enc(self.min_lat), enc(self.max_lon), enc(self.max_lat)
+        )
+        buf[118] = self.center_zoom
+        struct.pack_into("<2i", buf, 119, enc(self.center_lon), enc(self.center_lat))
+        return bytes(buf)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "Header":
+        assert buf[0:7] == MAGIC and buf[7] == VERSION, "not a PMTiles v3 file"
+        vals = struct.unpack_from("<8Q", buf, 8)
+        counts = struct.unpack_from("<3Q", buf, 72)
+        bounds = struct.unpack_from("<4i", buf, 102)
+        center = struct.unpack_from("<2i", buf, 119)
+        return cls(
+            root_dir_offset=vals[0], root_dir_length=vals[1],
+            json_metadata_offset=vals[2], json_metadata_length=vals[3],
+            leaf_dirs_offset=vals[4], leaf_dirs_length=vals[5],
+            tile_data_offset=vals[6], tile_data_length=vals[7],
+            addressed_tiles_count=counts[0], tile_entries_count=counts[1],
+            tile_contents_count=counts[2],
+            clustered=buf[96] == 1,
+            internal_compression=buf[97], tile_compression=buf[98],
+            tile_type=buf[99], min_zoom=buf[100], max_zoom=buf[101],
+            min_lon=bounds[0] / 1e7, min_lat=bounds[1] / 1e7,
+            max_lon=bounds[2] / 1e7, max_lat=bounds[3] / 1e7,
+            center_zoom=buf[118], center_lon=center[0] / 1e7, center_lat=center[1] / 1e7,
+        )
+
+
+def metadata_json(layer_name: str, min_zoom: int, max_zoom: int,
+                  fields: dict[str, str] | None = None,
+                  tilestats: dict | None = None) -> bytes:
+    """JSON metadata; fields sorted by name for determinism
+    (pmtiles_writer.rs:464-493, :1172-1221)."""
+    meta = {
+        "vector_layers": [
+            {
+                "id": layer_name,
+                "minzoom": min_zoom,
+                "maxzoom": max_zoom,
+                "fields": dict(sorted((fields or {}).items())),
+            }
+        ],
+        "format": "pbf",
+        "generator": "gpq-tiles-spark",
+    }
+    if tilestats:
+        meta["tilestats"] = tilestats
+    return json.dumps(meta, separators=(",", ":"), sort_keys=False).encode("utf-8")
+
+
+class PMTilesAssembler:
+    """Driver-side single-file assembler fed tiles in ascending tile_id order.
+
+    Streaming equivalent of the reference's StreamingPmtilesWriter finalize
+    (pmtiles_writer.rs:1028-1143): blobs append to the data section as they
+    arrive; only 24-byte-equivalent entries stay in memory; duplicate blobs
+    (same content hash) reuse the first offset (X1 dedup,
+    pmtiles_writer.rs:528-560).
+    """
+
+    def __init__(self, tile_compression: int = COMPRESSION_GZIP,
+                 layer_name: str = "features", min_zoom: int = 0, max_zoom: int = 14,
+                 fields: dict[str, str] | None = None):
+        self.tile_compression = tile_compression
+        self.layer_name = layer_name
+        self.min_zoom_cfg = min_zoom
+        self.max_zoom_cfg = max_zoom
+        self.fields = fields or {}
+        self.entries: list[DirEntry] = []
+        import tempfile
+
+        # Blobs stream straight to a temp file (O(1) driver memory), like the
+        # reference's StreamingPmtilesWriter (pmtiles_writer.rs:1000-1019).
+        self._tmp = tempfile.TemporaryFile()
+        self._n_blobs = 0
+        self._by_hash: dict[int, tuple[int, int]] = {}
+        self._data_len = 0
+        self.addressed = 0
+        self.total_features = 0
+        self.features_per_zoom: dict[int, int] = {}
+        self.zoom_seen: list[int] = []
+        self.bounds = [180.0, 90.0, -180.0, -90.0]
+        self._last_tile_id = -1
+
+    def add_tile(self, tile_id: int, z: int, raw_mvt: bytes, content_hash: int,
+                 n_features: int, tile_bounds: tuple[float, float, float, float] | None = None):
+        if tile_id <= self._last_tile_id:
+            raise ValueError(f"tiles must arrive in ascending tile_id order ({tile_id})")
+        self._last_tile_id = tile_id
+        self.addressed += 1
+        self.total_features += n_features
+        self.features_per_zoom[z] = self.features_per_zoom.get(z, 0) + n_features
+        self.zoom_seen.append(z)
+        if tile_bounds is not None:
+            self.bounds[0] = min(self.bounds[0], tile_bounds[0])
+            self.bounds[1] = min(self.bounds[1], tile_bounds[1])
+            self.bounds[2] = max(self.bounds[2], tile_bounds[2])
+            self.bounds[3] = max(self.bounds[3], tile_bounds[3])
+        hit = self._by_hash.get(content_hash)
+        if hit is None:
+            blob = compress(raw_mvt, self.tile_compression)
+            off = self._data_len
+            self._tmp.write(blob)
+            self._n_blobs += 1
+            self._data_len += len(blob)
+            self._by_hash[content_hash] = (off, len(blob))
+            self.entries.append(DirEntry(tile_id, off, len(blob), 1))
+        else:
+            off, ln = hit
+            self.entries.append(DirEntry(tile_id, off, ln, 1))
+
+    def finalize(self, path: str) -> Header:
+        entries = coalesce_run_lengths(self.entries)
+        root_dir = compress(encode_directory(entries), COMPRESSION_GZIP)
+        tilestats = {
+            "total_features": self.total_features,
+            "features_per_zoom": {str(k): v for k, v in sorted(self.features_per_zoom.items())},
+        }
+        meta = compress(
+            metadata_json(self.layer_name, self.min_zoom_cfg, self.max_zoom_cfg,
+                          self.fields, tilestats),
+            COMPRESSION_GZIP,
+        )
+        hdr = Header(
+            root_dir_offset=HEADER_SIZE,
+            root_dir_length=len(root_dir),
+            json_metadata_offset=HEADER_SIZE + len(root_dir),
+            json_metadata_length=len(meta),
+            tile_data_offset=HEADER_SIZE + len(root_dir) + len(meta),
+            tile_data_length=self._data_len,
+            addressed_tiles_count=self.addressed,
+            tile_entries_count=len(entries),
+            tile_contents_count=self._n_blobs,
+            clustered=True,
+            internal_compression=COMPRESSION_GZIP,
+            tile_compression=self.tile_compression,
+            tile_type=TILETYPE_MVT,
+            min_zoom=min(self.zoom_seen) if self.zoom_seen else self.min_zoom_cfg,
+            max_zoom=max(self.zoom_seen) if self.zoom_seen else self.max_zoom_cfg,
+            min_lon=self.bounds[0] if self.addressed else -180.0,
+            min_lat=self.bounds[1] if self.addressed else -85.0,
+            max_lon=self.bounds[2] if self.addressed else 180.0,
+            max_lat=self.bounds[3] if self.addressed else 85.0,
+        )
+        with open(path, "wb") as f:
+            f.write(hdr.to_bytes())
+            f.write(root_dir)
+            f.write(meta)
+            self._tmp.seek(0)
+            import shutil
+
+            shutil.copyfileobj(self._tmp, f, length=1 << 20)
+        self._tmp.close()
+        return hdr
+
+
+class PMTilesReader:
+    """Minimal reader used by tests and decode_tile parity checks."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self.data = f.read()
+        self.header = Header.from_bytes(self.data[:HEADER_SIZE])
+        h = self.header
+        root = self.data[h.root_dir_offset : h.root_dir_offset + h.root_dir_length]
+        self.entries = decode_directory(decompress(root, h.internal_compression))
+        meta_raw = self.data[
+            h.json_metadata_offset : h.json_metadata_offset + h.json_metadata_length
+        ]
+        self.metadata = json.loads(decompress(meta_raw, h.internal_compression))
+
+    def tile_ids(self) -> list[int]:
+        out = []
+        for e in self.entries:
+            for k in range(max(e.run_length, 1)):
+                out.append(e.tile_id + k)
+        return out
+
+    def get_tile_bytes(self, tile_id: int) -> bytes | None:
+        for e in self.entries:
+            if e.tile_id <= tile_id < e.tile_id + max(e.run_length, 1):
+                start = self.header.tile_data_offset + e.offset
+                raw = self.data[start : start + e.length]
+                return decompress(raw, self.header.tile_compression)
+        return None
