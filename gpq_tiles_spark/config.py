@@ -1,0 +1,37 @@
+"""TilerConfig — mirrors the reference's TilerConfig builder defaults
+(/root/reference/crates/core/src/pipeline.rs:137-368, lib.rs:82-224)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TilerConfig:
+    min_zoom: int = 0
+    max_zoom: int = 14
+    extent: int = 4096
+    buffer_pixels: int = 8  # this project pins 8, not tippecanoe's 5 (clip.rs:23-25)
+    layer_name: str = "features"
+    # density drop exists as a standalone operator; NOT applied in the
+    # production tiling path (SURVEY.md §2.4 subtlety, pipeline.rs:918-927)
+    enable_density_drop: bool = False
+    density_cell_size: int = 16
+    density_max_per_cell: int = 1
+    tile_compression: str = "gzip"  # gzip | none (zstd/brotli unavailable here)
+    include_properties: list[str] | None = None
+    exclude_properties: list[str] | None = None
+    exclude_all_properties: bool = False
+    # scale knobs
+    shuffle_partitions: int | None = None  # None -> leave session conf alone
+    hot_tile_threshold: int = 200_000  # features per tile before salted two-phase encode
+    salt_buckets: int = 16
+
+    def validate(self) -> "TilerConfig":
+        if not (0 <= self.min_zoom <= self.max_zoom <= 30):
+            raise ValueError(f"invalid zoom range {self.min_zoom}..{self.max_zoom}")
+        if self.extent <= 0:
+            raise ValueError("extent must be positive")
+        if self.tile_compression not in ("gzip", "none"):
+            raise ValueError(f"unsupported compression {self.tile_compression!r}")
+        return self

