@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator from SURVEY.md §2 (or a north-star
+extension from BASELINE.json) expressed over the driver's testdata tables;
+``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL. Spatial queries
+derive deterministic points from the events table (exact rational ops) and
+share the literal formula text between Spark and DuckDB via
+gpq_tiles_spark.functions.spatial_sql, so float parity is structural.
+
+Rows-only entries (no oracle): genuinely non-SQL-expressible ops — Hilbert
+curve encoding, MinHash near-dup banding, and the full clip/encode tile
+pipeline.
 """
 
 from __future__ import annotations
@@ -13,26 +18,374 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gpq_tiles_spark.functions.spatial_sql import (
+    EVENT_LAT,
+    EVENT_LNG,
+    tile_x_sql,
+    tile_y_sql,
+    world_x_sql,
+    world_y_sql,
+    zone_rect_sql,
+)
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL (identical text for Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def _sql_tile_assign_z8() -> str:
+    # S1+T1: point tile assignment at z8, counts per tile (Catalyst-native)
+    return f"""
+        SELECT {tile_x_sql(EVENT_LNG, 8)} AS tx,
+               {tile_y_sql(EVENT_LAT, 8)} AS ty,
+               COUNT(*) AS n_points
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+def _sql_tile_pyramid_counts() -> str:
+    # T3-lite for points: tiles touched per zoom 0..8 (fan-out cardinality)
+    parts = []
+    for z in range(0, 9):
+        parts.append(
+            f"""SELECT {z} AS z,
+                   COUNT(DISTINCT ({tile_x_sql(EVENT_LNG, z)}) * 1048576
+                         + ({tile_y_sql(EVENT_LAT, z)})) AS n_tiles,
+                   COUNT(*) AS n_points
+            FROM events"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _sql_dataset_bbox() -> str:
+    # S4/A1: streaming dataset bbox
+    return f"""
+        SELECT MIN({EVENT_LNG}) AS lng_min, MIN({EVENT_LAT}) AS lat_min,
+               MAX({EVENT_LNG}) AS lng_max, MAX({EVENT_LAT}) AS lat_max,
+               COUNT(*) AS n
+        FROM events
+    """
+
+
+def _sql_world_coords() -> str:
+    # T6: 32-bit world coordinates (tippecanoe zoom-32 grid)
+    return f"""
+        SELECT event_id,
+               {world_x_sql(EVENT_LNG)} AS wx,
+               {world_y_sql(EVENT_LAT)} AS wy
+        FROM events
+    """
+
+
+def _sql_pip_join() -> str:
+    # North-star point-in-polygon join (rect zones derived from nation keys);
+    # broadcast-able small dim side.
+    r = zone_rect_sql("n.n_nationkey")
+    return f"""
+        SELECT n.n_nationkey AS zone_key, n.n_name AS zone_name,
+               COUNT(*) AS n_points
+        FROM nation n
+        JOIN events e
+          ON {EVENT_LNG.replace('event_id', 'e.event_id')} >= {r['lng0']}
+         AND {EVENT_LNG.replace('event_id', 'e.event_id')} <  {r['lng0']} + {r['lng_w']}
+         AND {EVENT_LAT.replace('event_id', 'e.event_id')} >= {r['lat0']}
+         AND {EVENT_LAT.replace('event_id', 'e.event_id')} <  {r['lat0']} + {r['lat_h']}
+        GROUP BY 1, 2
+    """
+
+
+def _sql_knn() -> str:
+    # O5 kNN: 5 probes (region keys) x brute-force 5-NN over events,
+    # deterministic tie-break on event_id.
+    plng = "(CAST((r.r_regionkey * 61) % 300 AS DOUBLE) - 150.0)"
+    plat = "(CAST((r.r_regionkey * 43) % 120 AS DOUBLE) - 60.0)"
+    elng = EVENT_LNG.replace("event_id", "e.event_id")
+    elat = EVENT_LAT.replace("event_id", "e.event_id")
+    return f"""
+        SELECT r_regionkey, rnk, event_id
+        FROM (
+            SELECT r.r_regionkey, e.event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.r_regionkey
+                       ORDER BY ({elng} - {plng}) * ({elng} - {plng})
+                              + ({elat} - {plat}) * ({elat} - {plat}) ASC,
+                                e.event_id ASC
+                   ) AS rnk
+            FROM region r CROSS JOIN events e
+        ) t
+        WHERE rnk <= 5
+    """
+
+
+def _sql_density_limit() -> str:
+    # D6/O4: per-cell limit-N as a window (grid cell = z12 tile of the point,
+    # 16px sub-cell), keep first 2 per cell by event_id
+    cx = tile_x_sql(EVENT_LNG, 12)
+    cy = tile_y_sql(EVENT_LAT, 12)
+    return f"""
+        SELECT cell_x, cell_y, COUNT(*) AS n_kept
+        FROM (
+            SELECT {cx} AS cell_x, {cy} AS cell_y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {cx}, {cy} ORDER BY event_id
+                   ) AS rn
+            FROM events
+        ) t
+        WHERE rn <= 2
+        GROUP BY cell_x, cell_y
+    """
+
+
+def _sql_q1_pricing() -> str:
+    # TPC-H Q1 shape (scan + agg); decimal-exact sums cast to double
+    return """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def _sql_top_revenue() -> str:
+    # join + agg + deterministic top-k
+    return """
+        SELECT o.o_orderkey AS orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey
+        ORDER BY revenue DESC, orderkey ASC
+        LIMIT 10
+    """
+
+
+def _sql_dedup_exact() -> str:
+    # north-star exact dedup: content-hash grouping
+    return """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_unique_texts,
+               COUNT(*) - COUNT(DISTINCT md5(text)) AS n_duplicates
+        FROM documents
+    """
+
+
+def _sql_token_counts() -> str:
+    # north-star token counting (whitespace tokens, exact integer arithmetic)
+    tok = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    return f"""
+        SELECT lang,
+               SUM({tok}) AS total_tokens,
+               COUNT(*) AS n_docs,
+               CAST(SUM({tok}) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """
+
+
+def _sql_quality_scores() -> str:
+    # north-star quality scoring: stopword density + length band
+    the_count = "CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)"
+    score = f"(CAST({the_count} AS DOUBLE) * 100.0 / length(text))"
+    return f"""
+        SELECT doc_id, length(text) AS n_chars_actual,
+               {the_count} AS stopword_hits,
+               {score} AS quality_score
+        FROM documents
+        ORDER BY {score} DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
+def _sql_langid() -> str:
+    # north-star language-ID heuristic: en-stopword hit rate per source
+    hits = (
+        "(length(text) - length(replace(text, ' the ', ''))) / 5"
+        " + (length(text) - length(replace(text, ' and ', ''))) / 5"
+    )
+    return f"""
+        SELECT source,
+               SUM(CAST({hits} AS BIGINT)) AS en_hits,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY source
+    """
+
+
+def _sql_fingerprint() -> str:
+    # north-star document fingerprinting: first-8-hex of md5 as bucket
+    return """
+        SELECT substr(md5(text), 1, 4) AS fp_prefix, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+        HAVING COUNT(*) > 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# Engine-backed (rows-only) queries
+# ---------------------------------------------------------------------------
+
+def _q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T7: tippecanoe Hilbert key of each event point (numpy kernel in an
+    Arrow batch UDF) — not SQL-expressible, rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from gpq_tiles_spark.kernels import hilbert as H
+    from gpq_tiles_spark.kernels import tile_math as T
+
+    _register(spark, sf_dir)
+    pts = spark.sql(f"SELECT event_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events")
+
+    def add_key(batches):
+        for pdf in batches:
+            wx, wy = T.lng_lat_to_world(pdf["lng"].to_numpy(), pdf["lat"].to_numpy())
+            key = H.encode_hilbert(wx, wy)
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"], "hilbert_key": key.astype(np.int64)}
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("hilbert_key", LongType())]
+    )
+    return pts.mapInPandas(add_key, schema=schema)
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star MinHash+LSH near-dup detection over documents (rows-only)."""
+    from gpq_tiles_spark.operators.dedup import minhash_near_duplicates
+
+    _register(spark, sf_dir)
+    return minhash_near_duplicates(spark.table("documents"), text_col="text",
+                                   id_col="doc_id", num_perm=32, bands=8)
+
+
+def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fan-out -> clip -> drop -> MVT pipeline over synthetic geometries
+    derived from event points (rows-only; exercises the whole engine)."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
+
+    _register(spark, sf_dir)
+    feats = _event_features(spark)
+    cfg = TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=8)
+    tiles = encode_tiles(fanout_records(feats, cfg), cfg)
+    return tiles.select("tile_id", "z", "x", "y", "n_features")
+
+
+def _event_features(spark: SparkSession) -> DataFrame:
+    """events -> features DataFrame (points) for pipeline-backed queries."""
+    import pandas as pd
+
+    from gpq_tiles_spark.kernels import geom as G
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+
+    pts = spark.sql(
+        f"SELECT event_id AS feature_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events"
+    )
+
+    schema = StructType([
+        StructField("feature_id", LongType()),
+        StructField("doc_id", StringType()),
+        StructField("span_offset", IntegerType()),
+        StructField("wkb", BinaryType()),
+        StructField("geom_type", IntegerType()),
+        StructField("lng_min", DoubleType()),
+        StructField("lat_min", DoubleType()),
+        StructField("lng_max", DoubleType()),
+        StructField("lat_max", DoubleType()),
+    ])
+
+    def to_feat(batches):
+        import numpy as np
+
+        for pdf in batches:
+            wkbs = [
+                G.to_wkb((G.POINT, np.array([x, y])))
+                for x, y in zip(pdf["lng"], pdf["lat"])
+            ]
+            yield pd.DataFrame({
+                "feature_id": pdf["feature_id"],
+                "doc_id": pdf["feature_id"].astype(str),
+                "span_offset": 0,
+                "wkb": wkbs,
+                "geom_type": G.POINT,
+                "lng_min": pdf["lng"], "lat_min": pdf["lat"],
+                "lng_max": pdf["lng"], "lat_max": pdf["lat"],
+            })
+
+    return pts.mapInPandas(to_feat, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
+
+_ORACLE_SQL: dict[str, str] = {
+    "tile_assign_z8": _sql_tile_assign_z8(),
+    "tile_pyramid_counts": _sql_tile_pyramid_counts(),
+    "dataset_bbox": _sql_dataset_bbox(),
+    "world_coords": _sql_world_coords(),
+    "pip_join": _sql_pip_join(),
+    "knn_points": _sql_knn(),
+    "density_limit": _sql_density_limit(),
+    "q1_pricing": _sql_q1_pricing(),
+    "top_revenue": _sql_top_revenue(),
+    "dedup_exact": _sql_dedup_exact(),
+    "token_counts": _sql_token_counts(),
+    "quality_scores": _sql_quality_scores(),
+    "langid_heuristic": _sql_langid(),
+    "doc_fingerprint": _sql_fingerprint(),
+}
+
+
+def _make_sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: z8 tile assignment counts at sf0.001."""
+    _register(spark, "/root/testdata/sf0.001")
+    return spark.sql(_sql_tile_assign_z8())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _make_sql_query(sql) for name, sql in _ORACLE_SQL.items()
+    }
+    out["hilbert_order"] = _q_hilbert_order
+    out["minhash_neardup"] = _q_minhash_neardup
+    out["tile_pipeline_z8"] = _q_tile_pipeline
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE_SQL)
