@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship operations at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` additionally runs the tiling pipeline at two parallelism levels
+(local[8] vs local[32]) on the same input and reports throughput at both plus
+efficiency = (thr_hi / thr_lo) / (cores_hi / cores_lo) — the sandbox
+substitution for the north rule's N->4N cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    out: dict[str, float] = {}
+    qs = E.queries()
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    return out
+
+
+def run_tiling(spark, sf_dir: str, max_zoom: int = 10) -> tuple[float, int, int]:
+    """Full synthetic-geometry tiling pipeline; returns (sec, tiles, records)."""
+    import __spark_entry__ as E
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
+    from pyspark.sql import functions as F
+
+    E._register(spark, sf_dir)
+    feats = E._event_features(spark)
+    cfg = TilerConfig(min_zoom=0, max_zoom=max_zoom)
+    t0 = time.perf_counter()
+    tiles = encode_tiles(fanout_records(feats, cfg), cfg)
+    agg = tiles.agg(
+        F.count("*").alias("tiles"), F.sum("n_features").alias("records")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    return dt, int(agg["tiles"]), int(agg["records"])
+
+
+def _fresh_spark(cores: int):
+    from gpq_tiles_spark.session import get_spark
+
+    return get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scaling = "--scaling" in sys.argv
+
+    spark = _fresh_spark(cpus)
+    t_start = time.perf_counter()
+    queries = run_queries(spark, sf_dir)
+    tiling_sec, n_tiles, n_records = run_tiling(spark, sf_dir)
+    queries["tiling_pyramid_z10"] = round(tiling_sec, 4)
+    total = time.perf_counter() - t_start
+    tiles_per_sec = n_tiles / tiling_sec if tiling_sec > 0 else 0.0
+
+    result = {
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(sf_dir),
+        "tiles": n_tiles,
+        "tile_records": n_records,
+        "tiles_per_sec": round(tiles_per_sec, 2),
+    }
+    spark.stop()
+
+    if scaling:
+        eff = {}
+        for cores in (8, 32):
+            s = _fresh_spark(cores)
+            dt, nt, nr = run_tiling(s, sf_dir)
+            eff[cores] = {"sec": round(dt, 3), "tiles_per_sec": round(nt / dt, 2),
+                          "records_per_sec": round(nr / dt, 2)}
+            s.stop()
+        thr_lo = eff[8]["records_per_sec"]
+        thr_hi = eff[32]["records_per_sec"]
+        result["scaling"] = {
+            "local8": eff[8],
+            "local32": eff[32],
+            "efficiency": round((thr_hi / thr_lo) / (32 / 8), 4) if thr_lo else None,
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
