@@ -1,0 +1,145 @@
+"""Vectorized MVT tile encoding for tile_id-sorted record runs.
+
+The encode stage is the per-tile hot loop of the whole engine (one iteration
+per output tile; 100Ms of tiles at production scale), so it avoids pandas
+groupby, per-tile kernel calls, and per-feature WKB re-parsing:
+
+* run boundaries found with one numpy comparison;
+* tile bounds computed vectorized for ALL runs at once (per-row zoom);
+* point features (the dominant class in document corpora) are decoded in
+  bulk with an unaligned structured dtype over the concatenated WKB buffer,
+  quantized vectorized, and assembled as protobuf bytes with precomputed
+  command ints;
+* non-point features fall back to the exact kernel path
+  (kernels.mvt.encode_geometry), preserving bit-parity with the reference.
+
+Output bytes are identical to LayerBuilder's (tests assert equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geom as G
+from . import mvt as M
+from . import tile_math as T
+from .hashes import xxh64
+
+_POINT_DT = np.dtype(
+    {"names": ["x", "y"], "formats": ["<f8", "<f8"], "offsets": [5, 13], "itemsize": 21}
+)
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    v &= 0xFFFF_FFFF_FFFF_FFFF
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+_MOVETO1 = 9  # command_encode(MOVE_TO, 1)
+
+
+def _point_feature_bytes(fid: int, zzx: int, zzy: int) -> bytes:
+    """Feature{id, type=POINT, geometry=[9, zzx, zzy]} message bytes.
+    Field layout identical to kernels.mvt.encode_feature with empty tags."""
+    geom_payload = b"\x09" + _varint(zzx) + _varint(zzy)
+    return (
+        b"\x08" + _varint(fid)          # field 1: id
+        + b"\x18\x01"                    # field 3: type = POINT
+        + b"\x22" + _varint(len(geom_payload)) + geom_payload  # field 4 packed
+    )
+
+
+def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
+                       y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
+                       layer_name: str, extent: int):
+    """Encode consecutive tile_id runs -> columns for the tiles DataFrame.
+
+    Inputs are the (tile_id, feature_id)-sorted record columns of one chunk.
+    Returns dict of lists/arrays: tile_id, z, x, y, n_features, mvt,
+    content_hash.
+    """
+    n = len(tid)
+    starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+    ends = np.append(starts[1:], n)
+    g_tid = tid[starts]
+    g_z = z[starts]
+    g_x = x[starts]
+    g_y = y[starts]
+    lng0, lat0, lng1, lat1 = T.tile_bounds_mixed(g_x, g_y, g_z)
+    n_groups = len(starts)
+    sizes = ends - starts
+    gidx = np.repeat(np.arange(n_groups), sizes)
+
+    # ---- bulk point decode ----
+    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
+    is_pt = lens == 21
+    px = np.zeros(n, dtype=np.int64)
+    py = np.zeros(n, dtype=np.int64)
+    if is_pt.any():
+        pt_rows = np.flatnonzero(is_pt)
+        buf = b"".join(wkbs[i] for i in pt_rows)
+        arr = np.frombuffer(buf, dtype=_POINT_DT)
+        # confirm type byte == 1 (point); non-conforming rows -> slow path
+        hdr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 21)
+        ok = (hdr[:, 0] == 1) & (hdr[:, 1] == 1) & (hdr[:, 2] == 0)
+        if not ok.all():
+            bad = pt_rows[~ok]
+            is_pt[bad] = False
+            pt_rows = pt_rows[ok]
+            arr = arr[ok]
+        if len(pt_rows):
+            g = gidx[pt_rows]
+            w = lng1[g] - lng0[g]
+            h = lat1[g] - lat0[g]
+            fx = (arr["x"] - lng0[g]) / w * extent
+            fy = (1.0 - (arr["y"] - lat0[g]) / h) * extent
+            px[pt_rows] = M.round_half_away(fx).astype(np.int64)
+            py[pt_rows] = M.round_half_away(fy).astype(np.int64)
+
+    zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
+    zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
+
+    layer_head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
+    layer_tail = b"\x28" + _varint(extent) + b"\x78\x02"  # extent(5), version(15)=2
+
+    out_mvt: list[bytes] = []
+    out_hash: list[int] = []
+    fid_l = fid.tolist()
+    zzx_l = zzx.tolist()
+    zzy_l = zzy.tolist()
+    is_pt_l = is_pt.tolist()
+
+    for gi in range(n_groups):
+        s, e = starts[gi], ends[gi]
+        parts = [layer_head]
+        b0, a0, b1, a1 = lng0[gi], lat0[gi], lng1[gi], lat1[gi]
+        for i in range(s, e):
+            if is_pt_l[i]:
+                fmsg = _point_feature_bytes(fid_l[i], zzx_l[i], zzy_l[i])
+            else:
+                g = G.from_wkb(bytes(wkbs[i]))
+                cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
+                if not cmds and gtype == M.GEOM_UNKNOWN:
+                    continue
+                fmsg = M.encode_feature(fid_l[i], [], gtype, cmds)
+            parts.append(b"\x12" + _varint(len(fmsg)) + fmsg)
+        parts.append(layer_tail)
+        layer = b"".join(parts)
+        mvt = b"\x1a" + _varint(len(layer)) + layer
+        out_mvt.append(mvt)
+        out_hash.append(xxh64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+
+    return {
+        "tile_id": g_tid,
+        "z": g_z.astype(np.int32),
+        "x": g_x,
+        "y": g_y,
+        "n_features": sizes.astype(np.int64),
+        "mvt": out_mvt,
+        "content_hash": np.array(out_hash, dtype=np.int64),
+    }

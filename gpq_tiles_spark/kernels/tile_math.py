@@ -62,6 +62,20 @@ def tile_bounds(
     return lng_min, lat_min, lng_max, lat_max
 
 
+def tile_bounds_mixed(
+    x: np.ndarray, y: np.ndarray, z: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """tile_bounds with per-row zoom values (vectorized)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = np.ldexp(1.0, np.asarray(z, dtype=np.int32))
+    lng_min = x / n * 360.0 - 180.0
+    lng_max = (x + 1.0) / n * 360.0 - 180.0
+    lat_max = np.rad2deg(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * y / n))))
+    lat_min = np.rad2deg(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (y + 1.0) / n))))
+    return lng_min, lat_min, lng_max, lat_max
+
+
 def tile_ranges_for_bbox(
     lng_min: np.ndarray,
     lat_min: np.ndarray,

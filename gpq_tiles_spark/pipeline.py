@@ -53,6 +53,7 @@ from .kernels import drop as DK
 from .kernels import geom as G
 from .kernels import hilbert as H
 from .kernels import mvt as M
+from .kernels import mvt_fast
 from .kernels import simplify as SK
 from .kernels import tile_math as T
 from .kernels import validate as VK
@@ -328,28 +329,23 @@ def make_encoder(config: TilerConfig):
     """
     layer_name, extent = config.layer_name, config.extent
 
+    def encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # production path writes empty properties into every tile
+        # (pipeline.rs:949, :1215); features carry id + geometry only.
+        cols = mvt_fast.encode_sorted_runs(
+            pdf["tile_id"].to_numpy(dtype=np.int64),
+            pdf["z"].to_numpy(dtype=np.int64),
+            pdf["x"].to_numpy(dtype=np.int64),
+            pdf["y"].to_numpy(dtype=np.int64),
+            pdf["feature_id"].to_numpy(dtype=np.int64),
+            pdf["wkb"].to_numpy(),
+            layer_name,
+            extent,
+        )
+        return pd.DataFrame(cols)
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pend: pd.DataFrame | None = None
-
-        def encode_group(gdf: pd.DataFrame) -> dict:
-            tid = int(gdf["tile_id"].iloc[0])
-            z = int(gdf["z"].iloc[0])
-            x = int(gdf["x"].iloc[0])
-            y = int(gdf["y"].iloc[0])
-            lng0, lat0, lng1, lat1 = (float(v[0]) for v in T.tile_bounds(
-                np.array([x]), np.array([y]), z))
-            lb = M.LayerBuilder(layer_name, extent)
-            for fid, wkb in zip(gdf["feature_id"], gdf["wkb"]):
-                g = G.from_wkb(bytes(wkb))
-                # production path: empty properties (pipeline.rs:949, :1215)
-                lb.add_feature(int(fid), g, [], lng0, lat0, lng1, lat1)
-            mvt = M.encode_tile([lb.build()])
-            return {
-                "tile_id": tid, "z": z, "x": x, "y": y,
-                "n_features": len(gdf), "mvt": mvt,
-                "content_hash": xxh64(mvt) & 0x7FFF_FFFF_FFFF_FFFF,
-            }
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -358,16 +354,13 @@ def make_encoder(config: TilerConfig):
                 pend = None
             tids = pdf["tile_id"].to_numpy()
             # hold back the last run — it may continue in the next batch
-            last_tid = tids[-1]
-            cut = np.searchsorted(tids, last_tid, side="left")
+            cut = int(np.searchsorted(tids, tids[-1], side="left"))
             pend = pdf.iloc[cut:]
             body = pdf.iloc[:cut]
             if len(body):
-                rows = [encode_group(gdf) for _, gdf in body.groupby("tile_id", sort=True)]
-                yield pd.DataFrame(rows)
+                yield encode_chunk(body)
         if pend is not None and len(pend):
-            rows = [encode_group(gdf) for _, gdf in pend.groupby("tile_id", sort=True)]
-            yield pd.DataFrame(rows)
+            yield encode_chunk(pend)
 
     return encode
 
