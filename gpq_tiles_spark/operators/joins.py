@@ -1,0 +1,207 @@
+"""Spatial joins: point-in-polygon and kNN via cell-ring expansion.
+
+[north-star extensions — cite: BASELINE.json north_star "point-in-polygon
+joins, kNN via cell-ring expansion"]. Both are cell-index prefilter +
+exact-refine patterns:
+
+* PIP: polygons are covered with grid cells (one row per (cell, zone)),
+  points carry their cell as a Catalyst expression column; the equi-join on
+  the int64 cell column prunes the candidate space, then a vectorized
+  ray-casting kernel refines each (zone, [points]) group. Small polygon
+  sides are broadcast — no shuffle of the point table beyond the cell join.
+* kNN: probes expand grid disks r=0,1,... joining the indexed points per
+  round until the kth neighbor distance is provably within the ring bound;
+  final top-k by window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernels import geom as G
+from ..kernels import pip as PIPK
+from . import cells as C
+
+
+def polygon_cell_cover(zones: DataFrame, wkb_col: str = "zone_wkb",
+                       id_col: str = "zone_id", zoom: int = 9) -> DataFrame:
+    """(zone_id, cell) — every grid cell whose bbox intersects the polygon's
+    bbox. A bbox cover is a superset of the true cover, which only costs
+    extra candidates (removed by the exact refine)."""
+    schema = StructType(
+        [StructField("zone_id", StringType()), StructField("cell", LongType())]
+    )
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cells_out = [], []
+            for zid, wkb in zip(pdf[id_col], pdf[wkb_col]):
+                g = G.from_wkb(bytes(wkb))
+                x0, y0, x1, y1 = G.bbox(g)
+                _, cc = C.cover_bbox_cells([x0], [y0], [x1], [y1], zoom)
+                ids.extend([zid] * len(cc))
+                cells_out.extend(cc.tolist())
+            yield pd.DataFrame({"zone_id": ids, "cell": cells_out})
+
+    return zones.select(id_col, wkb_col).mapInPandas(cover, schema=schema)
+
+
+def point_in_polygon_join(points: DataFrame, zones: DataFrame,
+                          point_id: str = "point_id", lng: str = "lng",
+                          lat: str = "lat", zone_id: str = "zone_id",
+                          zone_wkb: str = "zone_wkb", zoom: int = 9,
+                          broadcast_zones: bool = True) -> DataFrame:
+    """Exact PIP join -> (point_id, lng, lat, zone_id)."""
+    cover = polygon_cell_cover(zones, zone_wkb, zone_id, zoom)
+    if broadcast_zones:
+        cover = F.broadcast(cover)
+    pts = C.with_cell_column(points.select(point_id, lng, lat), lng, lat, zoom)
+    cand = pts.join(cover, "cell").select(point_id, lng, lat, "zone_id")
+
+    # refine: group candidates by zone, run the vectorized kernel once per
+    # (zone, batch) with the polygon decoded a single time
+    zmap = {r[0]: bytes(r[1]) for r in zones.select(zone_id, zone_wkb).collect()} \
+        if broadcast_zones else None
+
+    schema = StructType(
+        [
+            StructField("point_id", LongType()),
+            StructField("lng", DoubleType()),
+            StructField("lat", DoubleType()),
+            StructField("zone_id", StringType()),
+        ]
+    )
+
+    if zmap is not None:
+        geoms = {k: G.from_wkb(v) for k, v in zmap.items()}
+
+        def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                keep = np.zeros(len(pdf), dtype=bool)
+                px = pdf["lng"].to_numpy(dtype=np.float64)
+                py = pdf["lat"].to_numpy(dtype=np.float64)
+                zarr = pdf["zone_id"].to_numpy()
+                for zid in pd.unique(zarr):
+                    m = zarr == zid
+                    keep[m] = PIPK.points_in_geom(px[m], py[m], geoms[zid])
+                out = pdf[keep]
+                yield out[["point_id", "lng", "lat", "zone_id"]]
+
+        cand = cand.select(
+            F.col(point_id).alias("point_id").cast("long"),
+            F.col(lng).alias("lng"),
+            F.col(lat).alias("lat"),
+            "zone_id",
+        )
+        return cand.mapInPandas(refine, schema=schema)
+
+    # non-broadcast path: join the wkb back per candidate (zones too large to
+    # broadcast), refine per (zone) group within partitions
+    cand2 = cand.join(zones.select(zone_id, zone_wkb), "zone_id")
+
+    def refine2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple] = {}
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf["lng"].to_numpy(dtype=np.float64)
+            py = pdf["lat"].to_numpy(dtype=np.float64)
+            zarr = pdf["zone_id"].to_numpy()
+            for zid in pd.unique(zarr):
+                m = zarr == zid
+                g = cache.get(zid)
+                if g is None:
+                    g = cache[zid] = G.from_wkb(bytes(pdf[zone_wkb][m].iloc[0]))
+                keep[m] = PIPK.points_in_geom(px[m], py[m], g)
+            out = pdf[keep]
+            yield out[["point_id", "lng", "lat", "zone_id"]]
+
+    cand2 = cand2.select(
+        F.col(point_id).alias("point_id").cast("long"),
+        F.col(lng).alias("lng"), F.col(lat).alias("lat"), "zone_id", zone_wkb,
+    )
+    return cand2.mapInPandas(refine2, schema=schema)
+
+
+def knn_join(points: DataFrame, probes: DataFrame, k: int,
+             point_id: str = "point_id", probe_id: str = "probe_id",
+             zoom: int = 7, max_radius: int = 64) -> DataFrame:
+    """k nearest points per probe via iterative grid-disk expansion.
+
+    points: (point_id, lng, lat); probes: (probe_id, lng, lat).
+    Returns (probe_id, rnk, point_id, dist). Distance is squared-degree
+    euclidean (matching the brute-force oracle).
+
+    Correctness bound: a point whose cell is outside the Chebyshev disk of
+    radius r differs from the probe by > (r-1) full cell widths in lng or by
+    > (r-1) minimum cell heights in lat, so once the kth candidate distance
+    is <= ((r-1) * min_cell_extent)^2 no farther ring can improve the result.
+    """
+    pts = C.with_cell_column(
+        points.select(F.col(point_id).alias("point_id"), "lng", "lat"),
+        "lng", "lat", zoom,
+    ).cache()
+    probe_rows = probes.select(probe_id, "lng", "lat").collect()
+    p_ids = [r[0] for r in probe_rows]
+    p_lng = np.array([r[1] for r in probe_rows])
+    p_lat = np.array([r[2] for r in probe_rows])
+    p_cell = C.latlng_to_cell(p_lng, p_lat, zoom)
+
+    cell_w = 360.0 / (1 << zoom)
+    # min cell height across the probe latitudes' neighborhood (conservative)
+    import numpy as _np
+
+    from ..kernels import tile_math as T
+
+    _, py = T.lng_lat_to_tile_xy(p_lng, p_lat, zoom)
+    _, lat_min_c, _, lat_max_c = T.tile_bounds(_np.zeros_like(py), py, zoom)
+    min_cell_h = float(np.minimum(np.abs(lat_max_c - lat_min_c), cell_w).min())
+
+    spark = points.sparkSession
+    r = 1
+    while True:
+        idx, cells = C.grid_disk(p_cell, r, zoom)
+        cand_cells = spark.createDataFrame(
+            [(int(p_ids[i]) if isinstance(p_ids[i], (int, np.integer)) else p_ids[i],
+              float(p_lng[i]), float(p_lat[i]), int(c))
+             for i, c in zip(idx.tolist(), cells.tolist())],
+            schema="probe_id long, probe_lng double, probe_lat double, cell long",
+        ).dropDuplicates(["probe_id", "cell"])
+        joined = F.broadcast(cand_cells).join(pts, "cell")
+        dist = (
+            (F.col("lng") - F.col("probe_lng")) * (F.col("lng") - F.col("probe_lng"))
+            + (F.col("lat") - F.col("probe_lat")) * (F.col("lat") - F.col("probe_lat"))
+        )
+        w = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("point_id"))
+        topk = (
+            joined.withColumn("d", dist)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("probe_id", "rnk", "point_id", F.col("d").alias("dist"))
+        )
+        stats = (
+            topk.groupBy("probe_id")
+            .agg(F.count("*").alias("cnt"), F.max("dist").alias("kth"))
+            .collect()
+        )
+        bound = ((r - 1) * min_cell_h) ** 2 if r > 1 else 0.0
+        have = {s["probe_id"]: s for s in stats}
+        done = all(
+            pid in have and have[pid]["cnt"] >= k and have[pid]["kth"] <= bound
+            for pid in (int(p) if isinstance(p, np.integer) else p for p in p_ids)
+        )
+        if done or r >= max_radius:
+            return topk
+        r *= 2

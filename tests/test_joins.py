@@ -1,0 +1,99 @@
+"""Spatial join operators vs brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from gpq_tiles_spark.fixtures import generate_zones
+from gpq_tiles_spark.kernels import geom as G
+from gpq_tiles_spark.kernels import pip as PIPK
+from gpq_tiles_spark.operators import cells as C
+from gpq_tiles_spark.operators.joins import knn_join, point_in_polygon_join
+
+
+def test_pip_kernel_basic():
+    square = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])]
+    px = np.array([5.0, 15.0, -1.0, 9.999])
+    py = np.array([5.0, 5.0, 5.0, 0.001])
+    np.testing.assert_array_equal(
+        PIPK.points_in_polygon(px, py, square), [True, False, False, True]
+    )
+    # hole
+    hole = square + [np.array([[2.0, 2.0], [2.0, 4.0], [4.0, 4.0], [4.0, 2.0], [2.0, 2.0]])]
+    np.testing.assert_array_equal(
+        PIPK.points_in_polygon(np.array([3.0, 5.0]), np.array([3.0, 5.0]), hole),
+        [False, True],
+    )
+
+
+def test_cell_pack_round_trip_and_disk():
+    cells = C.latlng_to_cell(np.array([-122.4, 139.7]), np.array([37.8, 35.7]), 9)
+    x, y = C.unpack_cell(cells)
+    assert (x >= 0).all() and (x < 512).all() and (y >= 0).all() and (y < 512).all()
+    idx, disk = C.grid_disk(cells[:1], 1, 9)
+    assert len(disk) == 9  # full 3x3 block away from poles
+    idx_r, ring = C.grid_ring(cells[:1], 1, 9)
+    assert len(ring) == 8
+    # antimeridian wrap: cell at x=0 must include x = n-1 neighbors
+    edge = C.pack_cell(np.array([0]), np.array([100]))
+    _, d = C.grid_disk(edge, 1, 9)
+    xs, _ = C.unpack_cell(d)
+    assert (xs == 511).any()
+
+
+@pytest.fixture(scope="module")
+def spatial_dfs(spark):
+    rng = np.random.default_rng(42)
+    n = 3000
+    # points clustered near the zone grids
+    cities = [(1.5, 42.5), (-122.4, 37.8), (139.7, 35.7)]
+    cx = rng.integers(0, 3, size=n)
+    lng = np.array([cities[c][0] for c in cx]) + rng.uniform(-0.8, 0.8, n)
+    lat = np.array([cities[c][1] for c in cx]) + rng.uniform(-0.8, 0.8, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(lng, lat))],
+        schema="point_id long, lng double, lat double",
+    )
+    zt = generate_zones(60)
+    zones = spark.createDataFrame(
+        [
+            (zid, G.to_wkb(G.from_wkt(w)), cat)
+            for zid, w, cat in zip(
+                zt["zone_id"].to_pylist(), zt["zone_wkt"].to_pylist(), zt["category"].to_pylist()
+            )
+        ],
+        schema="zone_id string, zone_wkb binary, category string",
+    )
+    return pts, zones, (lng, lat), zt
+
+
+def test_pip_join_matches_bruteforce(spark, spatial_dfs):
+    pts, zones, (lng, lat), zt = spatial_dfs
+    got = {
+        (r.point_id, r.zone_id)
+        for r in point_in_polygon_join(pts, zones, zoom=9).collect()
+    }
+    expected = set()
+    for zid, w in zip(zt["zone_id"].to_pylist(), zt["zone_wkt"].to_pylist()):
+        g = G.from_wkt(w)
+        inside = PIPK.points_in_geom(lng, lat, g)
+        for i in np.flatnonzero(inside):
+            expected.add((int(i), zid))
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_knn_join_matches_bruteforce(spark, spatial_dfs):
+    pts, zones, (lng, lat), _ = spatial_dfs
+    probes = spark.createDataFrame(
+        [(0, 1.52, 42.51), (1, -122.39, 37.81), (2, 139.72, 35.69), (3, 0.0, 0.0)],
+        schema="probe_id long, lng double, lat double",
+    )
+    k = 7
+    got = {}
+    for r in knn_join(pts, probes, k=k, zoom=7).collect():
+        got.setdefault(r.probe_id, []).append((r.rnk, r.point_id))
+    for pid, plng, plat in [(0, 1.52, 42.51), (1, -122.39, 37.81), (2, 139.72, 35.69), (3, 0.0, 0.0)]:
+        d = (lng - plng) ** 2 + (lat - plat) ** 2
+        order = np.lexsort((np.arange(len(d)), d))[:k]
+        expect = [(i + 1, int(order[i])) for i in range(k)]
+        assert sorted(got[pid]) == expect, f"probe {pid}"
