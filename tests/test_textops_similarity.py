@@ -1,0 +1,159 @@
+"""Text analysis, dedup, and similarity operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gpq_tiles_spark.operators import textops as TX
+from gpq_tiles_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from gpq_tiles_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    rows = [
+        ("d0", base),
+        ("d1", base),  # exact dup of d0
+        ("d2", base.replace("lazy", "sleepy")),  # near dup
+        ("d3", "der schnelle braune fuchs springt und der hund ist müde"),
+        ("d4", "completely different content about databases and query engines"),
+        ("d5", "le renard brun et rapide saute et les chiens dorment"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id string, text string")
+
+
+def test_exact_duplicates(spark, text_df):
+    dups = exact_duplicates(text_df).collect()
+    assert len(dups) == 1
+    assert dups[0].n_copies == 2 and dups[0].keeper == "d0"
+    assert dups[0].all_ids == ["d0", "d1"]
+
+
+def test_minhash_near_duplicates(spark, text_df):
+    buckets = minhash_near_duplicates(text_df, num_perm=32, bands=16, shingle_k=3)
+    pairs = set()
+    for r in buckets.collect():
+        ids = r.doc_ids
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    assert ("d0", "d1") in pairs  # exact dup always collides
+    assert ("d0", "d2") in pairs or ("d1", "d2") in pairs  # near dup
+    assert not any("d4" in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark, text_df):
+    out = simhash_near_duplicates(text_df, max_hamming=6).collect()
+    got = {(r.doc_a, r.doc_b) for r in out}
+    assert ("d0", "d1") in got
+    assert all(r.hamming == 0 for r in out if (r.doc_a, r.doc_b) == ("d0", "d1"))
+
+
+def test_ngram_jaccard(spark, text_df):
+    out = ngram_jaccard_pairs(text_df, n=3, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert got[("d0", "d1")] == 1.0
+    assert ("d0", "d2") in got and got[("d0", "d2")] > 0.5
+    assert ("d0", "d4") not in got
+
+
+def test_language_scores(spark, text_df):
+    out = {r.doc_id: r.predicted_lang for r in TX.language_scores(text_df).collect()}
+    assert out["d0"] == "en"
+    assert out["d3"] == "de"
+    assert out["d5"] == "fr"
+
+
+def test_token_counts(spark, text_df):
+    df = text_df.select(
+        "doc_id",
+        TX.whitespace_token_count(F.col("text")).alias("ws"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    )
+    rows = {r.doc_id: (r.ws, r.bpe) for r in df.collect()}
+    assert rows["d0"][0] == 14  # whitespace tokens
+    assert rows["d0"][1] >= 14  # regex tokenization never merges words
+
+
+def test_quality_features(spark, text_df):
+    out = {r.doc_id: r.quality_score for r in TX.quality_features(text_df).collect()}
+    assert out["d0"] > out["d4"]  # stopword-rich beats stopword-free
+
+
+def test_rolling_fingerprints_vectorized_correct(spark):
+    # verify the vectorized Rabin-Karp against a scalar reference
+    text = "abcdefghijklmnopqrstuvwxyz" * 8
+    window = 16
+    df = spark.createDataFrame([("x", text)], schema="doc_id string, text string")
+    got = {r.fingerprint for r in TX.rolling_fingerprints(
+        df, window=window, keep_mod=4).collect()}
+
+    data = text.encode()
+    B = 257
+    M = 1 << 64
+    expect = set()
+    for i in range(len(data) - window + 1):
+        h = 0
+        for j in range(window):
+            h = (h * B + data[i + j]) % M
+        if h % 4 == 0:
+            expect.add(h - M if h >= (1 << 63) else h)
+    assert got == expect and len(expect) > 0
+
+
+def test_fingerprints_shared_window_overlap(spark):
+    a = "PREFIX common shared central segment of text SUFFIX-A tail tail"
+    b = "OTHERSTART common shared central segment of text DIFFERENT end"
+    df = spark.createDataFrame(
+        [("a", a), ("b", b)], schema="doc_id string, text string"
+    )
+    fps = TX.rolling_fingerprints(df, window=24, keep_mod=2)
+    overlap = (
+        fps.groupBy("fingerprint").agg(F.countDistinct("doc_id").alias("n"))
+        .where(F.col("n") > 1).count()
+    )
+    assert overlap > 0  # shared substring -> shared fingerprints
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_bruteforce_matches_numpy(spark, vec_df):
+    df, vecs = vec_df
+    probes = df.where(F.col("vec_id") < 3)
+    out = cosine_topk_bruteforce(df, probes, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.probe_id, []).append((r.rnk, r.vec_id))
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for pid in range(3):
+        sims = (v @ v[pid]) / (norms * norms[pid])
+        sims[pid] = -np.inf
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        assert sorted(got[pid]) == [(i + 1, int(order[i])) for i in range(5)]
+    # nearest neighbor of 0 is its perturbed copy
+    assert got[0][0] == (1, 1) or sorted(got[0])[0] == (1, 1)
+
+
+def test_cosine_lsh_finds_near_duplicate(spark, vec_df):
+    df, vecs = vec_df
+    probes = df.where(F.col("vec_id") == 0)
+    out = cosine_topk_lsh(df, probes, k=5, dim=16, n_planes=8, n_tables=12).collect()
+    ranked = sorted((r.rnk, r.vec_id) for r in out)
+    assert ranked and ranked[0][1] == 1  # the perturbed twin is found
