@@ -54,6 +54,101 @@ def _point_feature_bytes(fid: int, zzx: int, zzy: int) -> bytes:
     )
 
 
+def layer_head_tail(layer_name: str, extent: int) -> tuple[bytes, bytes]:
+    head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
+    tail = b"\x28" + _varint(extent) + b"\x78\x02"  # extent(5), version(15)=2
+    return head, tail
+
+
+def wrap_layer(head: bytes, feature_msgs: list[bytes], tail: bytes) -> bytes:
+    parts = [head]
+    for fmsg in feature_msgs:
+        parts.append(b"\x12" + _varint(len(fmsg)) + fmsg)
+    parts.append(tail)
+    layer = b"".join(parts)
+    return b"\x1a" + _varint(len(layer)) + layer
+
+
+def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
+                        y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
+                        extent: int):
+    """Phase A of the salted two-phase encode: per consecutive
+    (tile_id[, salt]) run, produce the per-feature protobuf messages WITHOUT
+    wrapping them in a layer. Feature messages are independent byte segments
+    (the MVT cursor resets per feature), so buckets can be merged later in
+    feature_id order for byte-identical output.
+
+    Returns dict with per-run: tile_id, z, x, y, n_records, fids, msgs.
+    """
+    n = len(tid)
+    starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+    ends = np.append(starts[1:], n)
+    lng0, lat0, lng1, lat1 = T.tile_bounds_mixed(x[starts], y[starts], z[starts])
+    sizes = ends - starts
+    gidx = np.repeat(np.arange(len(starts)), sizes)
+    is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
+    zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
+    zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
+    fid_l = fid.tolist()
+    out_fids: list[list[int]] = []
+    out_msgs: list[list[bytes]] = []
+    for gi in range(len(starts)):
+        s, e = starts[gi], ends[gi]
+        fids_g: list[int] = []
+        msgs_g: list[bytes] = []
+        b0, a0, b1, a1 = lng0[gi], lat0[gi], lng1[gi], lat1[gi]
+        for i in range(s, e):
+            if is_pt[i]:
+                fmsg = _point_feature_bytes(fid_l[i], int(zzx[i]), int(zzy[i]))
+            else:
+                g = G.from_wkb(bytes(wkbs[i]))
+                cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
+                if not cmds and gtype == M.GEOM_UNKNOWN:
+                    continue
+                fmsg = M.encode_feature(fid_l[i], [], gtype, cmds)
+            fids_g.append(fid_l[i])
+            msgs_g.append(fmsg)
+        out_fids.append(fids_g)
+        out_msgs.append(msgs_g)
+    return {
+        "tile_id": tid[starts],
+        "z": z[starts].astype(np.int32),
+        "x": x[starts],
+        "y": y[starts],
+        "n_records": sizes.astype(np.int64),
+        "fids": out_fids,
+        "msgs": out_msgs,
+    }
+
+
+def _bulk_points(wkbs: np.ndarray, gidx: np.ndarray, lng0, lat0, lng1, lat1,
+                 extent: int):
+    """Shared bulk point decode + quantization; returns (is_pt, px, py)."""
+    n = len(wkbs)
+    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
+    is_pt = lens == 21
+    px = np.zeros(n, dtype=np.int64)
+    py = np.zeros(n, dtype=np.int64)
+    if is_pt.any():
+        pt_rows = np.flatnonzero(is_pt)
+        buf = b"".join(wkbs[i] for i in pt_rows)
+        arr = np.frombuffer(buf, dtype=_POINT_DT)
+        hdr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 21)
+        ok = (hdr[:, 0] == 1) & (hdr[:, 1] == 1) & (hdr[:, 2] == 0)
+        if not ok.all():
+            bad = pt_rows[~ok]
+            is_pt[bad] = False
+            pt_rows = pt_rows[ok]
+            arr = arr[ok]
+        if len(pt_rows):
+            g = gidx[pt_rows]
+            fx = (arr["x"] - lng0[g]) / (lng1[g] - lng0[g]) * extent
+            fy = (1.0 - (arr["y"] - lat0[g]) / (lat1[g] - lat0[g])) * extent
+            px[pt_rows] = M.round_half_away(fx).astype(np.int64)
+            py[pt_rows] = M.round_half_away(fy).astype(np.int64)
+    return is_pt, px, py
+
+
 def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
                        y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
                        layer_name: str, extent: int):

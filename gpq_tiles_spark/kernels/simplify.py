@@ -94,6 +94,48 @@ def simplify_for_zoom(g: Geom, zoom: int, extent: int) -> Geom:
     return g
 
 
+def _to_tile_f64(coords: np.ndarray, lng_min, lat_min, lng_max, lat_max, extent: int):
+    c = np.asarray(coords, dtype=np.float64)
+    x = (c[:, 0] - lng_min) / (lng_max - lng_min) * extent
+    y = (1.0 - (c[:, 1] - lat_min) / (lat_max - lat_min)) * extent
+    return np.stack([x, y], axis=1)
+
+
+def _from_tile_f64(px: np.ndarray, lng_min, lat_min, lng_max, lat_max, extent: int):
+    p = np.asarray(px, dtype=np.float64)
+    lng = lng_min + p[:, 0] / extent * (lng_max - lng_min)
+    lat = lat_min + (1.0 - p[:, 1] / extent) * (lat_max - lat_min)
+    return np.stack([lng, lat], axis=1)
+
+
+def simplify_in_tile_coords(g: Geom, lng_min, lat_min, lng_max, lat_max,
+                            extent: int = 4096,
+                            pixel_tolerance: float = 1.0) -> Geom:
+    """T17: transform to tile-local pixels (f64), DP with pixel tolerance,
+    transform back — latitude-independent variant
+    (reference simplify.rs:229-358; default tolerance 1.0 px)."""
+
+    def ring_fn(r: np.ndarray) -> np.ndarray:
+        if len(r) < 2:
+            return r
+        px = _to_tile_f64(r, lng_min, lat_min, lng_max, lat_max, extent)
+        out = rdp(px, pixel_tolerance)
+        return _from_tile_f64(out, lng_min, lat_min, lng_max, lat_max, extent)
+
+    t, d = g
+    if t in (POINT, MULTIPOINT):
+        return g
+    if t == LINESTRING:
+        return (LINESTRING, ring_fn(d))
+    if t == MULTILINESTRING:
+        return (MULTILINESTRING, [ring_fn(ls) for ls in d])
+    if t == POLYGON:
+        return (POLYGON, [ring_fn(r) for r in d])
+    if t == MULTIPOLYGON:
+        return (MULTIPOLYGON, [[ring_fn(r) for r in rings] for rings in d])
+    return g
+
+
 def visvalingam(coords: np.ndarray, min_area: float) -> np.ndarray:
     """Visvalingam-Whyatt: iteratively remove the vertex with the smallest
     effective triangle area until all remaining areas >= min_area.

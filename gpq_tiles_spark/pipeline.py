@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -363,6 +364,152 @@ def make_encoder(config: TilerConfig):
             yield encode_chunk(pend)
 
     return encode
+
+
+PARTIAL_SCHEMA = StructType(
+    [
+        StructField("tile_id", LongType(), False),
+        StructField("z", IntegerType(), False),
+        StructField("x", LongType(), False),
+        StructField("y", LongType(), False),
+        StructField("n_records", LongType(), False),
+        StructField("fids", ArrayType(LongType()), False),
+        StructField("msgs", ArrayType(BinaryType()), False),
+    ]
+)
+
+
+def make_partial_encoder(config: TilerConfig):
+    """Phase A of the salted two-phase encode: per (tile_id, salt) run, emit
+    unwrapped feature messages (cross-batch carry on (tile_id, salt))."""
+    extent = config.extent
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            cols = mvt_fast.encode_partial_runs(
+                # runs keyed on (tile_id, salt): fold salt into the run key by
+                # offsetting tile_id in a scratch column, then restore
+                (pdf["tile_id"].to_numpy(dtype=np.int64) * np.int64(config.salt_buckets)
+                 + pdf["salt"].to_numpy(dtype=np.int64)),
+                pdf["z"].to_numpy(dtype=np.int64),
+                pdf["x"].to_numpy(dtype=np.int64),
+                pdf["y"].to_numpy(dtype=np.int64),
+                pdf["feature_id"].to_numpy(dtype=np.int64),
+                pdf["wkb"].to_numpy(),
+                extent,
+            )
+            cols["tile_id"] = cols["tile_id"] // config.salt_buckets
+            return pd.DataFrame(cols)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            key = (pdf["tile_id"].to_numpy(dtype=np.int64) * config.salt_buckets
+                   + pdf["salt"].to_numpy(dtype=np.int64))
+            cut = int(np.searchsorted(key, key[-1], side="left"))
+            pend = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield emit(body)
+        if pend is not None and len(pend):
+            yield emit(pend)
+
+    return encode
+
+
+def make_merge_encoder(config: TilerConfig):
+    """Phase B: merge salt buckets of a tile in feature_id order and wrap the
+    layer — byte-identical to the single-phase encoder."""
+    head, tail = mvt_fast.layer_head_tail(config.layer_name, config.extent)
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            tid = pdf["tile_id"].to_numpy(dtype=np.int64)
+            starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+            ends = np.append(starts[1:], len(tid))
+            rows = {k: [] for k in ("tile_id", "z", "x", "y", "n_features",
+                                    "mvt", "content_hash")}
+            for s, e in zip(starts, ends):
+                fids = np.concatenate([
+                    np.asarray(v, dtype=np.int64) for v in pdf["fids"].iloc[s:e]
+                ]) if e > s else np.empty(0, dtype=np.int64)
+                msgs: list[bytes] = []
+                for v in pdf["msgs"].iloc[s:e]:
+                    msgs.extend(bytes(m) for m in v)
+                order = np.argsort(fids, kind="stable")
+                mvt = mvt_fast.wrap_layer(head, [msgs[i] for i in order], tail)
+                rows["tile_id"].append(int(tid[s]))
+                rows["z"].append(int(pdf["z"].iloc[s]))
+                rows["x"].append(int(pdf["x"].iloc[s]))
+                rows["y"].append(int(pdf["y"].iloc[s]))
+                rows["n_features"].append(int(pdf["n_records"].iloc[s:e].sum()))
+                rows["mvt"].append(mvt)
+                rows["content_hash"].append(xxh64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            tids = pdf["tile_id"].to_numpy()
+            cut = int(np.searchsorted(tids, tids[-1], side="left"))
+            pend = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield emit(body)
+        if pend is not None and len(pend):
+            yield emit(pend)
+
+    return merge
+
+
+def encode_tiles_salted(records: DataFrame, config: TilerConfig,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Skew-safe two-phase encode [north-star: explicit salted repartitioning
+    on hot tiles]. Hot tiles (> hot_tile_threshold records) get their
+    features split across salt_buckets sub-partitions for phase A, so no
+    single reduce task ever owns a dense urban tile alone; phase B merges
+    the buckets in feature_id order — output bytes identical to the
+    single-phase path.
+    """
+    parts = num_partitions or config.shuffle_partitions
+    hot = (
+        records.groupBy("tile_id")
+        .count()
+        .where(F.col("count") > config.hot_tile_threshold)
+        .select("tile_id", F.lit(True).alias("__hot"))
+    )
+    salted = (
+        records.join(F.broadcast(hot), "tile_id", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("__hot"),
+                   F.pmod(F.col("feature_id"), F.lit(config.salt_buckets)))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("__hot")
+    )
+    shuffled = (
+        salted.repartitionByRange(parts, "tile_id", "salt")
+        if parts else salted.repartitionByRange("tile_id", "salt")
+    )
+    partials = shuffled.sortWithinPartitions("tile_id", "salt", "feature_id").mapInPandas(
+        make_partial_encoder(config), schema=PARTIAL_SCHEMA
+    )
+    merged_in = (
+        partials.repartitionByRange(parts, "tile_id")
+        if parts else partials.repartitionByRange("tile_id")
+    ).sortWithinPartitions("tile_id")
+    return merged_in.mapInPandas(make_merge_encoder(config), schema=TILES_SCHEMA)
 
 
 def fanout_records(features: DataFrame, config: TilerConfig) -> DataFrame:
