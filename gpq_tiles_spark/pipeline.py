@@ -532,7 +532,8 @@ def encode_tiles(records: DataFrame, config: TilerConfig,
 
 
 def convert(features: DataFrame, output_path: str, config: TilerConfig | None = None,
-             bounds: tuple[float, float, float, float] | None = None) -> dict:
+             bounds: tuple[float, float, float, float] | None = None,
+             salted: bool = False) -> dict:
     """End-to-end: features DataFrame -> single .pmtiles at output_path.
 
     Returns summary stats. Tiles stream to the driver in tile_id order via
@@ -549,7 +550,7 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         bounds = (row[0], row[1], row[2], row[3])
 
     records = fanout_records(features, config)
-    tiles = encode_tiles(records, config)
+    tiles = (encode_tiles_salted if salted else encode_tiles)(records, config)
 
     codec = P.COMPRESSION_GZIP if config.tile_compression == "gzip" else P.COMPRESSION_NONE
     asm = P.PMTilesAssembler(

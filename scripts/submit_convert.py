@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""spark-submit entry point: documents table -> PMTiles archive.
+
+    spark-submit --py-files dist/gpq_tiles_spark.zip \
+        scripts/submit_convert.py INPUT OUTPUT.pmtiles \
+        [--min-zoom 0] [--max-zoom 14] [--layer-name features] \
+        [--compression gzip|none] [--salted] [--work-dir DIR (checkpointed)]
+
+INPUT is a parquet path of interleaved documents (doc_id, spans) or — with
+--geoparquet — a GeoParquet file with a WKB geometry column.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--min-zoom", type=int, default=0)
+    p.add_argument("--max-zoom", type=int, default=14)
+    p.add_argument("--layer-name", default="features")
+    p.add_argument("--compression", default="gzip", choices=["gzip", "none"])
+    p.add_argument("--salted", action="store_true")
+    p.add_argument("--geoparquet", action="store_true")
+    p.add_argument("--work-dir", default=None, help="enable checkpoint/resume")
+    p.add_argument("--feature-id-mode", default="hash", choices=["hash", "rownum"])
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from gpq_tiles_spark.config import TilerConfig
+
+    spark = SparkSession.builder.appName("gpq-tiles-convert").getOrCreate()
+    cfg = TilerConfig(
+        min_zoom=args.min_zoom, max_zoom=args.max_zoom,
+        layer_name=args.layer_name, tile_compression=args.compression,
+    ).validate()
+
+    if args.work_dir:
+        from gpq_tiles_spark.checkpoint import convert_with_checkpoints
+
+        manifest = convert_with_checkpoints(spark, args.input, args.output,
+                                            args.work_dir, cfg)
+        print({k: v for k, v in manifest["stages"].items()})
+        return
+
+    if args.geoparquet:
+        from gpq_tiles_spark.sources.geoparquet import assess_quality, read_geoparquet
+
+        q = assess_quality(args.input)
+        for w in q.warnings:
+            print(f"warning: {w}")
+        feats = read_geoparquet(spark, args.input)
+    else:
+        from gpq_tiles_spark.extract import extract_features
+
+        feats = extract_features(spark.read.parquet(args.input),
+                                 feature_id_mode=args.feature_id_mode)
+
+    from gpq_tiles_spark.pipeline import convert
+
+    stats = convert(feats, args.output, cfg)
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()
