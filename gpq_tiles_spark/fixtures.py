@@ -82,9 +82,22 @@ def _admin_wkt(rng: np.random.Generator, cross_antimeridian: bool) -> str:
     r = 1.0 + rng.uniform(-0.2, 0.2, n)
     xs = cx + np.cos(theta) * rx * r
     ys = np.clip(cy + np.sin(theta) * ry * r, -85.0, 85.0)
-    if cross_antimeridian:
-        # keep raw coords beyond 180 then wrap: produces lng_min > lng_max bbox
-        xs = np.where(xs > 180.0, xs - 360.0, xs)
+    if cross_antimeridian and (xs > 180.0).any():
+        # standard OGC representation: split at the antimeridian into a
+        # MULTIPOLYGON (real-world data — e.g. Fiji — ships this way)
+        ring = np.stack([xs, ys], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        from .kernels.clip import sutherland_hodgman
+
+        east = sutherland_hodgman(ring, -360.0, -90.0, 180.0, 90.0)
+        west_src = ring.copy()
+        west_src[:, 0] -= 360.0
+        west = sutherland_hodgman(west_src, -180.0, -90.0, 360.0, 90.0)
+        parts = [p for p in (east, west) if len(p) >= 4]
+        body = ", ".join(
+            "((" + ", ".join(f"{x:.8f} {y:.8f}" for x, y in p) + "))" for p in parts
+        )
+        return "MULTIPOLYGON(" + body + ")"
     pts = list(zip(xs, ys))
     pts.append(pts[0])
     return "POLYGON((" + ", ".join(f"{x:.8f} {y:.8f}" for x, y in pts) + "))"

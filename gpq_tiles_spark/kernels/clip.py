@@ -46,19 +46,29 @@ def _clip_edge(pts: np.ndarray, axis: int, bound: float, keep_ge: bool) -> np.nd
     if n == 0:
         return pts
     cur = pts
-    nxt = np.roll(pts, -1, axis=0)
+    nxt = np.empty_like(pts)
+    nxt[:-1] = pts[1:]
+    nxt[-1] = pts[0]
     if keep_ge:
-        inside_cur = cur[:, axis] >= bound
-        inside_nxt = nxt[:, axis] >= bound
+        inside = pts[:, axis] >= bound
     else:
-        inside_cur = cur[:, axis] <= bound
-        inside_nxt = nxt[:, axis] <= bound
+        inside = pts[:, axis] <= bound
+    inside_cur = inside
+    inside_nxt = np.empty_like(inside)
+    inside_nxt[:-1] = inside[1:]
+    inside_nxt[-1] = inside[0]
 
     crossing = inside_cur != inside_nxt
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (bound - cur[:, axis]) / (nxt[:, axis] - cur[:, axis])
-        inter = cur + t[:, None] * (nxt - cur)
-    inter[:, axis] = bound
+    # intersection only where the edge actually crosses (denominator != 0)
+    inter = np.empty_like(pts)
+    ci = np.flatnonzero(crossing)
+    if len(ci):
+        c0 = cur[ci]
+        c1 = nxt[ci]
+        t = (bound - c0[:, axis]) / (c1[:, axis] - c0[:, axis])
+        pt = c0 + t[:, None] * (c1 - c0)
+        pt[:, axis] = bound
+        inter[ci] = pt
 
     # Each input vertex i contributes: [cur_i if inside_cur] + [inter_i if crossing]
     emit_cur = inside_cur
@@ -207,6 +217,60 @@ def clip_geometry(g: Geom, lng_min: float, lat_min: float, lng_max: float,
         return (MULTIPOLYGON, parts)
 
     return None
+
+
+def polygon_column_strips(g: Geom, bx0: float, bx1: float) -> list | None:
+    """Clip a POLYGON/MULTIPOLYGON's rings against the Left/Right edges only.
+
+    Sutherland-Hodgman edge passes compose sequentially, so applying
+    Bottom/Top to these strips per tile yields byte-identical output to the
+    full 4-edge ``sutherland_hodgman`` — this turns O(tiles * ring_len) into
+    O(columns * ring_len + tiles * strip_len) for large polygons.
+
+    Returns per-part lists of L,R-clipped rings (ring 0 = exterior), or None
+    when nothing of the geometry enters the column.
+    """
+    t, d = g
+    parts = [d] if t == POLYGON else d
+    out_parts = []
+    for rings in parts:
+        strips = []
+        for ring in rings:
+            s = _clip_edge(np.asarray(ring, dtype=np.float64), 0, bx0, True)
+            s = _clip_edge(s, 0, bx1, False)
+            strips.append(s)
+        out_parts.append(strips)
+    return out_parts
+
+
+def polygon_strip_tile_clip(strip_parts: list, gtype: int,
+                            by0: float, by1: float) -> Geom | None:
+    """Finish a column strip for one tile (Bottom/Top edges + close), with
+    the exact ring/part filtering of ``clip_geometry`` (clip.rs:189-356)."""
+    out_polys = []
+    for strips in strip_parts:
+        if not strips:
+            continue
+        ext = _clip_edge(strips[0], 1, by0, True)
+        ext = _clip_edge(ext, 1, by1, False)
+        if len(ext) and not np.array_equal(ext[0], ext[-1]):
+            ext = np.vstack([ext, ext[:1]])
+        if len(ext) < 3:
+            continue
+        rings_out = [ext]
+        for hole in strips[1:]:
+            h = _clip_edge(hole, 1, by0, True)
+            h = _clip_edge(h, 1, by1, False)
+            if len(h) and not np.array_equal(h[0], h[-1]):
+                h = np.vstack([h, h[:1]])
+            if len(h) >= 3:
+                rings_out.append(h)
+        out_polys.append(rings_out)
+    if not out_polys:
+        return None
+    if gtype == POLYGON:
+        return (POLYGON, out_polys[0])
+    return (MULTIPOLYGON, out_polys)
 
 
 def _clip_polygon(rings: list[np.ndarray], bx0, by0, bx1, by1, pre_bbox) -> Geom | None:

@@ -69,7 +69,9 @@ def polygon_area_tile_px(rings, lng_min, lat_min, lng_max, lat_max, extent: int)
         x, y = _to_tile_f64(ring, lng_min, lat_min, lng_max, lat_max, extent)
         if len(x) < 3:
             continue
-        total += (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2.0
+        s = np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])
+        s += x[-1] * y[0] - x[0] * y[-1]
+        total += s / 2.0
     return abs(total)
 
 

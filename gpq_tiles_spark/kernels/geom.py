@@ -258,7 +258,10 @@ def ring_signed_area2(ring: np.ndarray) -> float:
     if len(r) < 3:
         return 0.0
     x, y = r[:, 0], r[:, 1]
-    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    # shoelace with wrapped neighbors, no np.roll allocation overhead
+    s = float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+    s += float(x[-1] * y[0] - x[0] * y[-1])
+    return s
 
 
 def polygon_unsigned_area(rings: list[np.ndarray]) -> float:

@@ -52,6 +52,7 @@ from .config import TilerConfig
 from .kernels import clip as CK
 from .kernels import drop as DK
 from .kernels import geom as G
+from .kernels import gridclip as GC
 from .kernels import hilbert as H
 from .kernels import mvt as M
 from .kernels import mvt_fast
@@ -126,8 +127,46 @@ def _prep_feature(wkb: bytes, max_zoom: int, extent: int):
     return cache
 
 
+def _finish_clip(clipped, z: int, max_zoom: int, extent: int,
+                 lng0: float, lat0: float, lng1: float, lat1: float,
+                 fid: int) -> bytes | None:
+    """validate -> drop -> wkb tail shared by all clip paths."""
+    validated = VK.filter_valid_geometry(clipped)
+    if validated is None:
+        return None
+    if DK.should_drop_geometry(validated, z, max_zoom, extent,
+                               lng0, lat0, lng1, lat1, fid):
+        return None
+    return G.to_wkb(validated)
+
+
+def _clip_pair(cache: dict, z: int, max_zoom: int, extent: int,
+               lng0: float, lat0: float, lng1: float, lat1: float,
+               buffer_px: float, fid: int) -> bytes | None:
+    """Per-(feature, tile) boundary path: clip -> validate -> drop -> wkb.
+
+    Exactly the reference's sequential inner loop (pipeline.rs:983-1050)."""
+    buf_deg = (lng1 - lng0) * buffer_px / extent
+    clipped = CK.clip_geometry(cache["geom"], lng0, lat0, lng1, lat1, buf_deg)
+    if clipped is None:
+        return None
+    return _finish_clip(clipped, z, max_zoom, extent, lng0, lat0, lng1, lat1, fid)
+
+
 def make_fanout(config: TilerConfig):
-    """Build the mapInPandas fan-out function (closure over config)."""
+    """Build the mapInPandas fan-out function (closure over config).
+
+    Three per-(feature, zoom) regimes:
+    * points: fully vectorized (thinning hash only);
+    * small features (candidate tiles <= GRID_THRESHOLD): vectorized tile
+      explode + bbox prefilter + fully-inside fast path, per-pair clip only
+      for boundary crossings;
+    * large features: grid classification (kernels/gridclip.py) — interior
+      tiles emit the canonical buffered rect without clipping, exterior
+      tiles emit nothing, only the O(perimeter) boundary tiles clip. This is
+      the reference's geometry-centric ADR-001 economics taken one level
+      further (its ≥1000-tile nested-parallel case, pipeline.rs:871-875).
+    """
     min_zoom, max_zoom = config.min_zoom, config.max_zoom
     extent, buffer_px = config.extent, config.buffer_pixels
 
@@ -146,6 +185,9 @@ def make_fanout(config: TilerConfig):
 
             caches: list[dict | None] = [None] * n  # lazy per-feature prep
             is_point = gtype == G.POINT
+            grid_capable = np.isin(
+                gtype, (G.LINESTRING, G.POLYGON, G.MULTILINESTRING, G.MULTIPOLYGON)
+            )
 
             out_tid: list[np.ndarray] = []
             out_z: list[np.ndarray] = []
@@ -154,17 +196,124 @@ def make_fanout(config: TilerConfig):
             out_fid: list[np.ndarray] = []
             out_wkb: list[list] = []
 
+            def emit(z: int, xs_e, ys_e, fids_e, wkbs_e) -> None:
+                if len(xs_e) == 0:
+                    return
+                xs_a = np.asarray(xs_e, dtype=np.int64)
+                ys_a = np.asarray(ys_e, dtype=np.int64)
+                out_tid.append(H.tile_id(z, xs_a, ys_a).astype(np.int64))
+                out_z.append(np.full(len(xs_a), z, dtype=np.int32))
+                out_x.append(xs_a)
+                out_y.append(ys_a)
+                out_fid.append(np.asarray(fids_e, dtype=np.int64))
+                out_wkb.append(list(wkbs_e))
+
+            def get_cache(r: int) -> dict:
+                c = caches[r]
+                if c is None:
+                    c = caches[r] = _prep_feature(wkbs[r], max_zoom, extent)
+                return c
+
             for z in range(min_zoom, max_zoom + 1):
                 x0a, x1a, x0b, x1b, y0, y1 = T.tile_ranges_for_bbox(gx0, gy0, gx1, gy1, z)
+                span_a = np.maximum(x1a - x0a + 1, 0)
+                span_b = np.maximum(x1b - x0b + 1, 0)
+                counts = (span_a + span_b) * np.maximum(y1 - y0 + 1, 0)
+                use_grid = grid_capable & (counts > GC.GRID_THRESHOLD)
+
+                # ---------- grid regime (large features) ----------
+                for r in np.nonzero(use_grid)[0]:
+                    c = get_cache(int(r))
+                    ranges_x = [(int(x0a[r]), int(x1a[r]))]
+                    if x0b[r] <= x1b[r]:
+                        ranges_x.append((int(x0b[r]), int(x1b[r])))
+                    gyy0, gyy1 = int(y0[r]), int(y1[r])
+                    poly_like = c["geom"][0] in (G.POLYGON, G.MULTIPOLYGON)
+                    for rx0, rx1 in ranges_x:
+                        if poly_like:
+                            boundary, interior = GC.classify_polygon_grid(
+                                c["geom"], z, rx0, rx1, gyy0, gyy1, buffer_px, extent
+                            )
+                        else:
+                            boundary = GC.mark_boundary(
+                                GC.edge_bboxes(c["geom"]), z, rx0, rx1, gyy0, gyy1,
+                                buffer_px, extent,
+                            )
+                            interior = None
+                        by, bx = np.nonzero(boundary)
+                        k_x, k_y, k_w = [], [], []
+                        if len(bx) and poly_like:
+                            # column-strip clipping: L,R once per column,
+                            # B,T per tile — byte-identical to full SH
+                            order = np.lexsort((by, bx))
+                            bx, by = bx[order], by[order]
+                            t0, a0, t1, a1 = T.tile_bounds(
+                                (rx0 + bx).astype(np.float64),
+                                (gyy0 + by).astype(np.float64), z)
+                            buf_arr = (t1 - t0) * buffer_px / extent
+                            col_starts = np.flatnonzero(
+                                np.concatenate(([True], bx[1:] != bx[:-1])))
+                            col_ends = np.append(col_starts[1:], len(bx))
+                            gt = c["geom"][0]
+                            for cs, ce in zip(col_starts, col_ends):
+                                bufv = float(buf_arr[cs])
+                                strips = CK.polygon_column_strips(
+                                    c["geom"], float(t0[cs]) - bufv,
+                                    float(t1[cs]) + bufv)
+                                for j in range(cs, ce):
+                                    clipped = CK.polygon_strip_tile_clip(
+                                        strips, gt,
+                                        float(a0[j]) - bufv, float(a1[j]) + bufv)
+                                    if clipped is None:
+                                        continue
+                                    w = _finish_clip(
+                                        clipped, z, max_zoom, extent,
+                                        float(t0[j]), float(a0[j]),
+                                        float(t1[j]), float(a1[j]), int(fid[r]))
+                                    if w is not None:
+                                        k_x.append(rx0 + bx[j])
+                                        k_y.append(gyy0 + by[j])
+                                        k_w.append(w)
+                        elif len(bx):
+                            t0, a0, t1, a1 = T.tile_bounds(
+                                (rx0 + bx).astype(np.float64),
+                                (gyy0 + by).astype(np.float64), z)
+                            for j in range(len(bx)):
+                                w = _clip_pair(c, z, max_zoom, extent,
+                                               float(t0[j]), float(a0[j]),
+                                               float(t1[j]), float(a1[j]),
+                                               buffer_px, int(fid[r]))
+                                if w is not None:
+                                    k_x.append(rx0 + bx[j])
+                                    k_y.append(gyy0 + by[j])
+                                    k_w.append(w)
+                        if interior is not None and interior.any():
+                            iy, ix = np.nonzero(interior)
+                            t0, a0, t1, a1 = T.tile_bounds(
+                                (rx0 + ix).astype(np.float64),
+                                (gyy0 + iy).astype(np.float64), z)
+                            buf = (t1 - t0) * buffer_px / extent
+                            for j in range(len(ix)):
+                                k_x.append(rx0 + ix[j])
+                                k_y.append(gyy0 + iy[j])
+                                k_w.append(GC.rect_wkb(
+                                    float(t0[j] - buf[j]), float(a0[j] - buf[j]),
+                                    float(t1[j] + buf[j]), float(a1[j] + buf[j])))
+                        emit(z, k_x, k_y, [fid[r]] * len(k_x), k_w)
+
+                # ---------- small regime: vectorized explode ----------
+                small = np.nonzero(~use_grid)[0]
+                if len(small) == 0:
+                    continue
                 ridx, xs, ys = T.explode_tile_ranges(
-                    np.concatenate([x0a, x0b]),
-                    np.concatenate([x1a, x1b]),
-                    np.concatenate([y0, y0]),
-                    np.concatenate([y1, y1]),
+                    np.concatenate([x0a[small], x0b[small]]),
+                    np.concatenate([x1a[small], x1b[small]]),
+                    np.concatenate([y0[small], y0[small]]),
+                    np.concatenate([y1[small], y1[small]]),
                 )
                 if len(ridx) == 0:
                     continue
-                ridx = ridx % n  # second antimeridian range maps back to row
+                ridx = small[ridx % len(small)]
 
                 t_lng0, t_lat0, t_lng1, t_lat1 = T.tile_bounds(xs, ys, z)
                 buf = (t_lng1 - t_lng0) * buffer_px / extent
@@ -186,24 +335,17 @@ def make_fanout(config: TilerConfig):
                 b_lng0, b_lat0 = b_lng0[inter], b_lat0[inter]
                 b_lng1, b_lat1 = b_lng1[inter], b_lat1[inter]
 
-                # ---------- vectorized point path ----------
+                # vectorized point path
                 pmask = is_point[ridx]
                 if pmask.any():
                     pr = ridx[pmask]
                     keep = ~DK.should_drop_points(fid[pr].astype(np.uint64), z, max_zoom)
-                    # inclusive containment in buffered bounds (clip.rs:103-113):
-                    # bbox == the point, so the prefilter already decided it.
                     if keep.any():
                         sel = np.nonzero(pmask)[0][keep]
                         kr = ridx[sel]
-                        out_tid.append(H.tile_id(z, xs[sel], ys[sel]).astype(np.int64))
-                        out_z.append(np.full(len(sel), z, dtype=np.int32))
-                        out_x.append(xs[sel])
-                        out_y.append(ys[sel])
-                        out_fid.append(fid[kr])
-                        out_wkb.append([wkbs[r] for r in kr])
+                        emit(z, xs[sel], ys[sel], fid[kr], [wkbs[r] for r in kr])
 
-                # ---------- non-point path ----------
+                # non-point small path
                 gmask = ~pmask
                 if not gmask.any():
                     continue
@@ -215,48 +357,32 @@ def make_fanout(config: TilerConfig):
                     & (gy1[ridx[gsel]] <= b_lat1[gsel])
                 )
 
-                keep_idx: list[int] = []
+                keep_pos: list[int] = []
                 keep_wkb: list[bytes] = []
                 for pos, fin in zip(gsel, fully_inside):
                     r = int(ridx[pos])
-                    c = caches[r]
-                    if c is None:
-                        c = caches[r] = _prep_feature(wkbs[r], max_zoom, extent)
-                    v = c["valid"]
+                    c = get_cache(r)
                     tb = (
                         float(t_lng0[pos]), float(t_lat0[pos]),
                         float(t_lng1[pos]), float(t_lat1[pos]),
                     )
                     if fin:
-                        if v is None:
+                        if c["valid"] is None:
                             continue
                         if _drop_fully_inside(c, z, max_zoom, extent, tb, int(fid[r])):
                             continue
-                        keep_idx.append(pos)
+                        keep_pos.append(pos)
                         keep_wkb.append(c["wkb"])
                     else:
-                        buf_deg = float(b_lng1[pos] - t_lng1[pos])
-                        clipped = CK.clip_geometry(c["geom"], *tb, buf_deg)
-                        if clipped is None:
-                            continue
-                        validated = VK.filter_valid_geometry(clipped)
-                        if validated is None:
-                            continue
-                        if DK.should_drop_geometry(
-                            validated, z, max_zoom, extent, *tb, int(fid[r])
-                        ):
-                            continue
-                        keep_idx.append(pos)
-                        keep_wkb.append(G.to_wkb(validated))
+                        w = _clip_pair(c, z, max_zoom, extent, *tb, buffer_px,
+                                       int(fid[r]))
+                        if w is not None:
+                            keep_pos.append(pos)
+                            keep_wkb.append(w)
 
-                if keep_idx:
-                    ki = np.array(keep_idx, dtype=np.int64)
-                    out_tid.append(H.tile_id(z, xs[ki], ys[ki]).astype(np.int64))
-                    out_z.append(np.full(len(ki), z, dtype=np.int32))
-                    out_x.append(xs[ki])
-                    out_y.append(ys[ki])
-                    out_fid.append(fid[ridx[ki]])
-                    out_wkb.append(keep_wkb)
+                if keep_pos:
+                    ki = np.array(keep_pos, dtype=np.int64)
+                    emit(z, xs[ki], ys[ki], fid[ridx[ki]], keep_wkb)
 
             if not out_tid:
                 continue

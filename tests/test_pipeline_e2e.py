@@ -25,44 +25,91 @@ from gpq_tiles_spark.pipeline import convert, encode_tiles, fanout_records
 
 
 def scalar_phase1(features, config: TilerConfig):
-    """Reference-shaped scalar loop: list of (tile_id, z, x, y, fid, wkb)."""
+    """Reference-shaped scalar loop: list of (tile_id, z, x, y, fid, wkb).
+
+    Mirrors the engine's two regimes: per-tile clip for small features, grid
+    classification (canonical interior rects) for features whose candidate
+    tile count exceeds GRID_THRESHOLD — same decision rule, scalar loops.
+    """
+    from gpq_tiles_spark.kernels import gridclip as GC
+
     out = []
+
+    def clip_one(simplified, z, xx, yy, fid, bbox, prefilter=True):
+        gx0, gy0, gx1, gy1 = bbox
+        lng0, lat0, lng1, lat1 = (
+            float(v[0]) for v in T.tile_bounds(np.array([xx]), np.array([yy]), z)
+        )
+        buf = (lng1 - lng0) * config.buffer_pixels / config.extent
+        if prefilter and not (
+            gx1 >= lng0 - buf and gx0 <= lng1 + buf
+            and gy1 >= lat0 - buf and gy0 <= lat1 + buf
+        ):
+            return None
+        clipped = CK.clip_geometry(simplified, lng0, lat0, lng1, lat1, buf)
+        if clipped is None:
+            return None
+        validated = VK.filter_valid_geometry(clipped)
+        if validated is None:
+            return None
+        if DK.should_drop_geometry(
+            validated, z, config.max_zoom, config.extent,
+            lng0, lat0, lng1, lat1, fid,
+        ):
+            return None
+        return G.to_wkb(validated)
+
     for fid, wkb, bbox in features:
         g = G.from_wkb(wkb)
         gx0, gy0, gx1, gy1 = bbox
         simplified = SK.simplify_for_zoom(g, config.max_zoom, config.extent)
+        grid_capable = simplified[0] in (
+            G.LINESTRING, G.POLYGON, G.MULTILINESTRING, G.MULTIPOLYGON)
         for z in range(config.min_zoom, config.max_zoom + 1):
             x0a, x1a, x0b, x1b, y0, y1 = T.tile_ranges_for_bbox(
                 np.array([gx0]), np.array([gy0]), np.array([gx1]), np.array([gy1]), z
             )
-            coords = []
-            for xs0, xs1 in ((int(x0a[0]), int(x1a[0])), (int(x0b[0]), int(x1b[0]))):
-                for yy in range(int(y0[0]), int(y1[0]) + 1):
+            ranges = [(int(x0a[0]), int(x1a[0]))]
+            if int(x0b[0]) <= int(x1b[0]):
+                ranges.append((int(x0b[0]), int(x1b[0])))
+            gyy0, gyy1 = int(y0[0]), int(y1[0])
+            count = sum(x1 - x0 + 1 for x0, x1 in ranges) * max(gyy1 - gyy0 + 1, 0)
+            if grid_capable and count > GC.GRID_THRESHOLD:
+                poly_like = simplified[0] in (G.POLYGON, G.MULTIPOLYGON)
+                for rx0, rx1 in ranges:
+                    if poly_like:
+                        boundary, interior = GC.classify_polygon_grid(
+                            simplified, z, rx0, rx1, gyy0, gyy1,
+                            config.buffer_pixels, config.extent)
+                    else:
+                        boundary = GC.mark_boundary(
+                            GC.edge_bboxes(simplified), z, rx0, rx1, gyy0, gyy1,
+                            config.buffer_pixels, config.extent)
+                        interior = None
+                    for iy, ix in zip(*np.nonzero(boundary)):
+                        xx, yy = rx0 + ix, gyy0 + iy
+                        w = clip_one(simplified, z, xx, yy, fid, bbox, prefilter=False)
+                        if w is not None:
+                            tid = int(H.tile_id(z, np.array([xx]), np.array([yy]))[0])
+                            out.append((tid, z, xx, yy, fid, w))
+                    if interior is not None:
+                        for iy, ix in zip(*np.nonzero(interior)):
+                            xx, yy = rx0 + ix, gyy0 + iy
+                            lng0, lat0, lng1, lat1 = (
+                                float(v[0]) for v in T.tile_bounds(
+                                    np.array([xx]), np.array([yy]), z))
+                            buf = (lng1 - lng0) * config.buffer_pixels / config.extent
+                            w = GC.rect_wkb(lng0 - buf, lat0 - buf, lng1 + buf, lat1 + buf)
+                            tid = int(H.tile_id(z, np.array([xx]), np.array([yy]))[0])
+                            out.append((tid, z, xx, yy, fid, w))
+                continue
+            for xs0, xs1 in ranges:
+                for yy in range(gyy0, gyy1 + 1):
                     for xx in range(xs0, xs1 + 1):
-                        coords.append((xx, yy))
-            for xx, yy in coords:
-                lng0, lat0, lng1, lat1 = (
-                    float(v[0]) for v in T.tile_bounds(np.array([xx]), np.array([yy]), z)
-                )
-                buf = (lng1 - lng0) * config.buffer_pixels / config.extent
-                if not (
-                    gx1 >= lng0 - buf and gx0 <= lng1 + buf
-                    and gy1 >= lat0 - buf and gy0 <= lat1 + buf
-                ):
-                    continue
-                clipped = CK.clip_geometry(simplified, lng0, lat0, lng1, lat1, buf)
-                if clipped is None:
-                    continue
-                validated = VK.filter_valid_geometry(clipped)
-                if validated is None:
-                    continue
-                if DK.should_drop_geometry(
-                    validated, z, config.max_zoom, config.extent,
-                    lng0, lat0, lng1, lat1, fid,
-                ):
-                    continue
-                tid = int(H.tile_id(z, np.array([xx]), np.array([yy]))[0])
-                out.append((tid, z, xx, yy, fid, G.to_wkb(validated)))
+                        w = clip_one(simplified, z, xx, yy, fid, bbox)
+                        if w is not None:
+                            tid = int(H.tile_id(z, np.array([xx]), np.array([yy]))[0])
+                            out.append((tid, z, xx, yy, fid, w))
     return out
 
 
