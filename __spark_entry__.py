@@ -238,6 +238,48 @@ def _sql_fingerprint() -> str:
     """
 
 
+_ANN_TEMPLATE = """
+    SELECT probe_id, rnk, vec_id
+    FROM (
+      SELECT p.vec_id AS probe_id, v.vec_id AS vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY {dot} DESC, v.vec_id ASC
+             ) AS rnk
+      FROM embeddings v
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p
+      WHERE v.vec_id <> p.vec_id
+    ) t
+    WHERE rnk <= 10
+"""
+
+
+def _sql_ann(dialect: str) -> str:
+    # north-star similarity search: brute-force dot-product top-k.
+    # Output is rank-only (integers) so the cross-engine float summation
+    # order cannot affect the comparison; both sides accumulate in double.
+    if dialect == "spark":
+        dot = (
+            "aggregate(zip_with(v.embedding, p.embedding, "
+            "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    else:
+        dot = "list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
+    return _ANN_TEMPLATE.format(dot=dot)
+
+
+def _sql_hourly(dialect: str) -> str:
+    # event-time windowed counts (batch form of the streaming window agg)
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+        SELECT CAST(date_trunc('hour', ts) AS {cast}) AS hr, event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # Engine-backed (rows-only) queries
 # ---------------------------------------------------------------------------
@@ -345,6 +387,13 @@ def _event_features(spark: SparkSession) -> DataFrame:
 # Contract functions
 # ---------------------------------------------------------------------------
 
+# queries whose SQL text must differ per engine (array/timestamp dialects);
+# outputs are integers/strings so parity is exact
+_DIALECT_SQL: dict[str, tuple[str, str]] = {
+    "ann_cosine_topk": (_sql_ann("spark"), _sql_ann("duckdb")),
+    "hourly_event_counts": (_sql_hourly("spark"), _sql_hourly("duckdb")),
+}
+
 _ORACLE_SQL: dict[str, str] = {
     "tile_assign_z8": _sql_tile_assign_z8(),
     "tile_pyramid_counts": _sql_tile_pyramid_counts(),
@@ -381,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _make_sql_query(sql) for name, sql in _ORACLE_SQL.items()
     }
+    for name, (spark_sql, _duck) in _DIALECT_SQL.items():
+        out[name] = _make_sql_query(spark_sql)
     out["hilbert_order"] = _q_hilbert_order
     out["minhash_neardup"] = _q_minhash_neardup
     out["tile_pipeline_z8"] = _q_tile_pipeline
@@ -388,4 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE_SQL)
+    out = dict(_ORACLE_SQL)
+    for name, (_spark, duck_sql) in _DIALECT_SQL.items():
+        out[name] = duck_sql
+    return out
