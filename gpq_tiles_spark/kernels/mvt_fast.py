@@ -86,7 +86,9 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     lng0, lat0, lng1, lat1 = T.tile_bounds_mixed(x[starts], y[starts], z[starts])
     sizes = ends - starts
     gidx = np.repeat(np.arange(len(starts)), sizes)
+    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
     is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
+    is_r5, r5cmds = _bulk_rect5(wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
     zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
     fid_l = fid.tolist()
@@ -100,6 +102,9 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         for i in range(s, e):
             if is_pt[i]:
                 fmsg = _point_feature_bytes(fid_l[i], int(zzx[i]), int(zzy[i]))
+            elif is_r5[i]:
+                fmsg = M.encode_feature(fid_l[i], [], M.GEOM_POLYGON,
+                                        r5cmds[i].tolist())
             else:
                 g = G.from_wkb(bytes(wkbs[i]))
                 cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
@@ -149,6 +154,78 @@ def _bulk_points(wkbs: np.ndarray, gidx: np.ndarray, lng0, lat0, lng1, lat1,
     return is_pt, px, py
 
 
+# single-ring 5-point polygon (canonical interior rects + small quads):
+# byte0 LE, type=3, nrings=1, npts=5, 10 doubles
+_RECT5_LEN = 9 + 4 + 5 * 16
+_RECT5_DT = np.dtype(
+    {
+        "names": [f"c{i}" for i in range(10)],
+        "formats": ["<f8"] * 10,
+        "offsets": [13 + 8 * i for i in range(10)],
+        "itemsize": _RECT5_LEN,
+    }
+)
+
+
+def _bulk_rect5(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
+                lng0, lat0, lng1, lat1, extent: int):
+    """Bulk path for 5-point single-ring polygons.
+
+    Returns (is_r5, zz) where zz is an (n, 11) int64 array of the MVT
+    command stream [MoveTo1, zx0, zy0, LineTo3, zdx1, zdy1, ..., ClosePath]
+    — byte-identical to kernels.mvt.encode_polygon (incl. CCW orientation).
+    """
+    n = len(wkbs)
+    is_r5 = lens == _RECT5_LEN
+    zz = None
+    if not is_r5.any():
+        return is_r5, zz
+    rows = np.flatnonzero(is_r5)
+    buf = b"".join(wkbs[i] for i in rows)
+    hdr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, _RECT5_LEN)
+    ok = (
+        (hdr[:, 0] == 1) & (hdr[:, 1] == 3) & (hdr[:, 2] == 0)
+        & (hdr[:, 5] == 1) & (hdr[:, 6] == 0)
+        & (hdr[:, 9] == 5) & (hdr[:, 10] == 0)
+    )
+    if not ok.all():
+        is_r5[rows[~ok]] = False
+        rows = rows[ok]
+    if not len(rows):
+        return is_r5, None
+    raw = np.frombuffer(buf, dtype=_RECT5_DT)
+    if not ok.all():
+        raw = raw[ok]
+    pts = np.stack([raw[f"c{i}"] for i in range(10)], axis=1).reshape(-1, 5, 2)
+    # orient to CCW (positive shoelace in geo coords), like orient_rings
+    x, y = pts[:, :, 0], pts[:, :, 1]
+    a2 = (x[:, :-1] * y[:, 1:] - x[:, 1:] * y[:, :-1]).sum(axis=1)
+    cw = a2 < 0
+    if cw.any():
+        pts = np.where(cw[:, None, None], pts[:, ::-1, :], pts)
+    g = gidx[rows]
+    fx = (pts[:, :, 0] - lng0[g, None]) / (lng1[g, None] - lng0[g, None]) * extent
+    fy = (1.0 - (pts[:, :, 1] - lat0[g, None]) / (lat1[g, None] - lat0[g, None])) * extent
+    ix = M.round_half_away(fx).astype(np.int64)
+    iy = M.round_half_away(fy).astype(np.int64)
+    # encode_ring: MoveTo(pt0), LineTo(pts 1..3), ClosePath (skip closing dup)
+    dx = np.diff(ix[:, :4], axis=1, prepend=np.zeros((len(rows), 1), dtype=np.int64))
+    dy = np.diff(iy[:, :4], axis=1, prepend=np.zeros((len(rows), 1), dtype=np.int64))
+    zzx = ((dx << 1) ^ (dx >> 63)) & 0xFFFFFFFF
+    zzy = ((dy << 1) ^ (dy >> 63)) & 0xFFFFFFFF
+    out = np.empty((n, 11), dtype=np.int64)
+    sub = np.empty((len(rows), 11), dtype=np.int64)
+    sub[:, 0] = 9  # MoveTo count 1
+    sub[:, 1] = zzx[:, 0]
+    sub[:, 2] = zzy[:, 0]
+    sub[:, 3] = (2 & 0x7) | (3 << 3)  # LineTo count 3
+    sub[:, 4::2][:, :3] = zzx[:, 1:4]
+    sub[:, 5::2][:, :3] = zzy[:, 1:4]
+    sub[:, 10] = 15  # ClosePath
+    out[rows] = sub
+    return is_r5, out
+
+
 def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
                        y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
                        layer_name: str, extent: int):
@@ -170,31 +247,10 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     sizes = ends - starts
     gidx = np.repeat(np.arange(n_groups), sizes)
 
-    # ---- bulk point decode ----
+    # ---- bulk fast paths: points + 5-pt single-ring polygons ----
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
-    is_pt = lens == 21
-    px = np.zeros(n, dtype=np.int64)
-    py = np.zeros(n, dtype=np.int64)
-    if is_pt.any():
-        pt_rows = np.flatnonzero(is_pt)
-        buf = b"".join(wkbs[i] for i in pt_rows)
-        arr = np.frombuffer(buf, dtype=_POINT_DT)
-        # confirm type byte == 1 (point); non-conforming rows -> slow path
-        hdr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 21)
-        ok = (hdr[:, 0] == 1) & (hdr[:, 1] == 1) & (hdr[:, 2] == 0)
-        if not ok.all():
-            bad = pt_rows[~ok]
-            is_pt[bad] = False
-            pt_rows = pt_rows[ok]
-            arr = arr[ok]
-        if len(pt_rows):
-            g = gidx[pt_rows]
-            w = lng1[g] - lng0[g]
-            h = lat1[g] - lat0[g]
-            fx = (arr["x"] - lng0[g]) / w * extent
-            fy = (1.0 - (arr["y"] - lat0[g]) / h) * extent
-            px[pt_rows] = M.round_half_away(fx).astype(np.int64)
-            py[pt_rows] = M.round_half_away(fy).astype(np.int64)
+    is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
+    is_r5, r5cmds = _bulk_rect5(wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
 
     zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
     zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
@@ -216,6 +272,9 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         for i in range(s, e):
             if is_pt_l[i]:
                 fmsg = _point_feature_bytes(fid_l[i], zzx_l[i], zzy_l[i])
+            elif is_r5[i]:
+                fmsg = M.encode_feature(fid_l[i], [], M.GEOM_POLYGON,
+                                        r5cmds[i].tolist())
             else:
                 g = G.from_wkb(bytes(wkbs[i]))
                 cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
