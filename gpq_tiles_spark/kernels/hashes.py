@@ -96,6 +96,16 @@ def siphash13_coords(coords_list: list[np.ndarray]) -> int:
     return siphash13(bytes(buf))
 
 
+def content_hash64(data: bytes) -> int:
+    """64-bit content key for tile dedup (X1). The reference uses XXH3-64
+    (dedup.rs:48-59); dedup semantics (identical bytes -> identical key) are
+    hash-agnostic, so we use hashlib's C-speed blake2b-8 here — the pure-
+    Python xxh64 below costs ~1s/MB, which matters at millions of tiles."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
 _XXP1 = 0x9E3779B185EBCA87
 _XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9

@@ -195,10 +195,46 @@ def _len_delim(field: int, payload: bytes) -> bytes:
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 
+def varint_array_u32(vals) -> bytes:
+    """Vectorized varint encoding of non-negative ints < 2^35 (numpy)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    nb += (
+        (v >= (1 << 7)).astype(np.int64)
+        + (v >= (1 << 14)).astype(np.int64)
+        + (v >= (1 << 21)).astype(np.int64)
+        + (v >= (1 << 28)).astype(np.int64)
+    )
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    pos = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    for k in range(5):
+        m = nb > k
+        if not m.any():
+            break
+        byte = ((v[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] > k + 1).astype(np.uint8) << 7
+        out[pos[m] + k] = byte | cont
+    return out.tobytes()
+
+
+_VARINT_CACHE: list[bytes] | None = None
+
+
+def _varint_cache() -> list[bytes]:
+    global _VARINT_CACHE
+    if _VARINT_CACHE is None:
+        _VARINT_CACHE = [_varint(i) for i in range(1 << 16)]
+    return _VARINT_CACHE
+
+
 def _packed_u32(field: int, vals) -> bytes:
-    if not vals:
+    if len(vals) == 0:
         return b""
-    body = b"".join(_varint(int(v)) for v in vals)
+    cache = _varint_cache()
+    body = b"".join(
+        cache[v] if 0 <= v < 65536 else _varint(int(v)) for v in vals
+    )
     return _len_delim(field, body)
 
 

@@ -23,7 +23,7 @@ import numpy as np
 from . import geom as G
 from . import mvt as M
 from . import tile_math as T
-from .hashes import xxh64
+from .hashes import content_hash64
 
 _POINT_DT = np.dtype(
     {"names": ["x", "y"], "formats": ["<f8", "<f8"], "offsets": [5, 13], "itemsize": 21}
@@ -89,6 +89,8 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
     is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
     is_r5, r5cmds = _bulk_rect5(wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
+        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
     zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
     fid_l = fid.tolist()
@@ -105,6 +107,10 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
             elif is_r5[i]:
                 fmsg = M.encode_feature(fid_l[i], [], M.GEOM_POLYGON,
                                         r5cmds[i].tolist())
+            elif is_ls[i]:
+                fmsg = M.encode_feature(
+                    fid_l[i], [], M.GEOM_LINESTRING,
+                    _line_cmds(int(ls_start[i]), int(ls_npts[i]), ls_inter))
             else:
                 g = G.from_wkb(bytes(wkbs[i]))
                 cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
@@ -152,6 +158,62 @@ def _bulk_points(wkbs: np.ndarray, gidx: np.ndarray, lng0, lat0, lng1, lat1,
             px[pt_rows] = M.round_half_away(fx).astype(np.int64)
             py[pt_rows] = M.round_half_away(fy).astype(np.int64)
     return is_pt, px, py
+
+
+_LS_HDR = b"\x01\x02\x00\x00\x00"
+
+
+def _bulk_lines(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
+                lng0, lat0, lng1, lat1, extent: int):
+    """Bulk path for single-part LineStrings: decode all coords in one
+    buffer, quantize + delta + zigzag vectorized. Returns (is_ls, per-row
+    (start, npts) index arrays, interleaved zigzag array) — command
+    assembly slices the shared array per row.
+    Byte-identical to kernels.mvt.encode_linestring (cursor starts at 0)."""
+    n = len(wkbs)
+    is_ls = np.zeros(n, dtype=bool)
+    cand = np.flatnonzero((lens >= 9 + 32) & ((lens - 9) % 16 == 0))
+    rows = [i for i in cand if bytes(wkbs[i][:5]) == _LS_HDR]
+    if not rows:
+        return is_ls, None, None, None
+    rows = np.array(rows, dtype=np.int64)
+    is_ls[rows] = True
+    npts = ((lens[rows] - 9) // 16).astype(np.int64)
+    payload = b"".join(bytes(wkbs[i])[9:] for i in rows)
+    coords = np.frombuffer(payload, dtype="<f8").reshape(-1, 2)
+    rec = np.repeat(np.arange(len(rows)), npts)
+    g = gidx[rows][rec]
+    fx = (coords[:, 0] - lng0[g]) / (lng1[g] - lng0[g]) * extent
+    fy = (1.0 - (coords[:, 1] - lat0[g]) / (lat1[g] - lat0[g])) * extent
+    px = M.round_half_away(fx).astype(np.int64)
+    py = M.round_half_away(fy).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+    prev_x = np.empty_like(px)
+    prev_x[1:] = px[:-1]
+    prev_x[starts] = 0
+    prev_y = np.empty_like(py)
+    prev_y[1:] = py[:-1]
+    prev_y[starts] = 0
+    dx = px - prev_x
+    dy = py - prev_y
+    zzx = ((dx << 1) ^ (dx >> 63)) & 0xFFFFFFFF
+    zzy = ((dy << 1) ^ (dy >> 63)) & 0xFFFFFFFF
+    inter = np.empty(2 * len(px), dtype=np.int64)
+    inter[0::2] = zzx
+    inter[1::2] = zzy
+    row_start = np.full(n, -1, dtype=np.int64)
+    row_npts = np.zeros(n, dtype=np.int64)
+    row_start[rows] = starts
+    row_npts[rows] = npts
+    return is_ls, row_start, row_npts, inter
+
+
+def _line_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
+    s2 = 2 * start
+    out = [9, int(inter[s2]), int(inter[s2 + 1]),
+           (2 & 0x7) | ((npts - 1) << 3)]
+    out.extend(inter[s2 + 2 : s2 + 2 * npts].tolist())
+    return out
 
 
 # single-ring 5-point polygon (canonical interior rects + small quads):
@@ -251,6 +313,8 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
     is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
     is_r5, r5cmds = _bulk_rect5(wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
+        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
 
     zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
     zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
@@ -275,6 +339,10 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
             elif is_r5[i]:
                 fmsg = M.encode_feature(fid_l[i], [], M.GEOM_POLYGON,
                                         r5cmds[i].tolist())
+            elif is_ls[i]:
+                fmsg = M.encode_feature(
+                    fid_l[i], [], M.GEOM_LINESTRING,
+                    _line_cmds(int(ls_start[i]), int(ls_npts[i]), ls_inter))
             else:
                 g = G.from_wkb(bytes(wkbs[i]))
                 cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
@@ -286,7 +354,7 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         layer = b"".join(parts)
         mvt = b"\x1a" + _varint(len(layer)) + layer
         out_mvt.append(mvt)
-        out_hash.append(xxh64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+        out_hash.append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
 
     return {
         "tile_id": g_tid,

@@ -59,7 +59,7 @@ from .kernels import mvt_fast
 from .kernels import simplify as SK
 from .kernels import tile_math as T
 from .kernels import validate as VK
-from .kernels.hashes import siphash13_coords, xxh64
+from .kernels.hashes import content_hash64, siphash13_coords
 
 RECORDS_SCHEMA = StructType(
     [
@@ -577,7 +577,7 @@ def make_merge_encoder(config: TilerConfig):
                 rows["y"].append(int(pdf["y"].iloc[s]))
                 rows["n_features"].append(int(pdf["n_records"].iloc[s:e].sum()))
                 rows["mvt"].append(mvt)
-                rows["content_hash"].append(xxh64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+                rows["content_hash"].append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
             return pd.DataFrame(rows)
 
         for pdf in batches:
