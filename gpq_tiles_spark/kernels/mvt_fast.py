@@ -88,7 +88,8 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     gidx = np.repeat(np.arange(len(starts)), sizes)
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
     is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
-    is_r5, r5cmds = _bulk_rect5(wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    is_p1, p1_start, p1_npts, p1_inter = _bulk_poly1(
+        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
         wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
@@ -104,9 +105,10 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         for i in range(s, e):
             if is_pt[i]:
                 fmsg = _point_feature_bytes(fid_l[i], int(zzx[i]), int(zzy[i]))
-            elif is_r5[i]:
-                fmsg = M.encode_feature(fid_l[i], [], M.GEOM_POLYGON,
-                                        r5cmds[i].tolist())
+            elif is_p1[i]:
+                fmsg = M.encode_feature(
+                    fid_l[i], [], M.GEOM_POLYGON,
+                    _poly1_cmds(int(p1_start[i]), int(p1_npts[i]), p1_inter))
             elif is_ls[i]:
                 fmsg = M.encode_feature(
                     fid_l[i], [], M.GEOM_LINESTRING,
@@ -216,76 +218,83 @@ def _line_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
     return out
 
 
-# single-ring 5-point polygon (canonical interior rects + small quads):
-# byte0 LE, type=3, nrings=1, npts=5, 10 doubles
-_RECT5_LEN = 9 + 4 + 5 * 16
-_RECT5_DT = np.dtype(
-    {
-        "names": [f"c{i}" for i in range(10)],
-        "formats": ["<f8"] * 10,
-        "offsets": [13 + 8 * i for i in range(10)],
-        "itemsize": _RECT5_LEN,
-    }
-)
+_P1_HDR = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
 
 
-def _bulk_rect5(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
+def _bulk_poly1(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
                 lng0, lat0, lng1, lat1, extent: int):
-    """Bulk path for 5-point single-ring polygons.
+    """Bulk path for single-ring polygons of any size (canonical interior
+    rects, building quads, clipped boundary rings alike).
 
-    Returns (is_r5, zz) where zz is an (n, 11) int64 array of the MVT
-    command stream [MoveTo1, zx0, zy0, LineTo3, zdx1, zdy1, ..., ClosePath]
-    — byte-identical to kernels.mvt.encode_polygon (incl. CCW orientation).
+    Vectorized: bulk coord decode, per-ring shoelace orientation (CCW
+    exterior, matching orient_rings), quantization, delta + zigzag with
+    per-record cursor resets. Returns (is_p1, row_start, row_npts, inter)
+    where command assembly per row is [MoveTo1, zz0, LineTo(n-2), zz...,
+    ClosePath] — byte-identical to kernels.mvt.encode_polygon.
     """
     n = len(wkbs)
-    is_r5 = lens == _RECT5_LEN
-    zz = None
-    if not is_r5.any():
-        return is_r5, zz
-    rows = np.flatnonzero(is_r5)
-    buf = b"".join(wkbs[i] for i in rows)
-    hdr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, _RECT5_LEN)
-    ok = (
-        (hdr[:, 0] == 1) & (hdr[:, 1] == 3) & (hdr[:, 2] == 0)
-        & (hdr[:, 5] == 1) & (hdr[:, 6] == 0)
-        & (hdr[:, 9] == 5) & (hdr[:, 10] == 0)
-    )
-    if not ok.all():
-        is_r5[rows[~ok]] = False
-        rows = rows[ok]
-    if not len(rows):
-        return is_r5, None
-    raw = np.frombuffer(buf, dtype=_RECT5_DT)
-    if not ok.all():
-        raw = raw[ok]
-    pts = np.stack([raw[f"c{i}"] for i in range(10)], axis=1).reshape(-1, 5, 2)
-    # orient to CCW (positive shoelace in geo coords), like orient_rings
-    x, y = pts[:, :, 0], pts[:, :, 1]
-    a2 = (x[:, :-1] * y[:, 1:] - x[:, 1:] * y[:, :-1]).sum(axis=1)
-    cw = a2 < 0
-    if cw.any():
-        pts = np.where(cw[:, None, None], pts[:, ::-1, :], pts)
-    g = gidx[rows]
-    fx = (pts[:, :, 0] - lng0[g, None]) / (lng1[g, None] - lng0[g, None]) * extent
-    fy = (1.0 - (pts[:, :, 1] - lat0[g, None]) / (lat1[g, None] - lat0[g, None])) * extent
-    ix = M.round_half_away(fx).astype(np.int64)
-    iy = M.round_half_away(fy).astype(np.int64)
-    # encode_ring: MoveTo(pt0), LineTo(pts 1..3), ClosePath (skip closing dup)
-    dx = np.diff(ix[:, :4], axis=1, prepend=np.zeros((len(rows), 1), dtype=np.int64))
-    dy = np.diff(iy[:, :4], axis=1, prepend=np.zeros((len(rows), 1), dtype=np.int64))
+    is_p1 = np.zeros(n, dtype=bool)
+    cand = np.flatnonzero((lens >= 13 + 4 * 16) & ((lens - 13) % 16 == 0))
+    rows = [i for i in cand if bytes(wkbs[i][:9]) == _P1_HDR]
+    if not rows:
+        return is_p1, None, None, None
+    rows = np.array(rows, dtype=np.int64)
+    is_p1[rows] = True
+    npts = ((lens[rows] - 13) // 16).astype(np.int64)
+    payload = b"".join(bytes(wkbs[i])[13:] for i in rows)
+    coords = np.frombuffer(payload, dtype="<f8").reshape(-1, 2).copy()
+    starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
+    rec = np.repeat(np.arange(len(rows)), npts)
+
+    # orientation: signed ring area via cross-term reduceat (per record)
+    x, y = coords[:, 0], coords[:, 1]
+    nxt = np.empty(len(x), dtype=np.int64)
+    nxt[:] = np.arange(1, len(x) + 1)
+    ends = starts + npts - 1
+    nxt[ends] = starts  # wrap within each ring
+    cross = x * y[nxt] - x[nxt] * y
+    a2 = np.add.reduceat(cross, starts)
+    flip = a2 < 0  # exterior must be CCW (orient_rings)
+    if flip.any():
+        local = np.arange(len(x), dtype=np.int64) - starts[rec]
+        rev = starts[rec] + (npts[rec] - 1 - local)
+        src_idx = np.where(flip[rec], rev, np.arange(len(x), dtype=np.int64))
+        coords = coords[src_idx]
+
+    g = gidx[rows][rec]
+    fx = (coords[:, 0] - lng0[g]) / (lng1[g] - lng0[g]) * extent
+    fy = (1.0 - (coords[:, 1] - lat0[g]) / (lat1[g] - lat0[g])) * extent
+    px = M.round_half_away(fx).astype(np.int64)
+    py = M.round_half_away(fy).astype(np.int64)
+    prev_x = np.empty_like(px)
+    prev_x[1:] = px[:-1]
+    prev_x[starts] = 0
+    prev_y = np.empty_like(py)
+    prev_y[1:] = py[:-1]
+    prev_y[starts] = 0
+    dx = px - prev_x
+    dy = py - prev_y
     zzx = ((dx << 1) ^ (dx >> 63)) & 0xFFFFFFFF
     zzy = ((dy << 1) ^ (dy >> 63)) & 0xFFFFFFFF
-    out = np.empty((n, 11), dtype=np.int64)
-    sub = np.empty((len(rows), 11), dtype=np.int64)
-    sub[:, 0] = 9  # MoveTo count 1
-    sub[:, 1] = zzx[:, 0]
-    sub[:, 2] = zzy[:, 0]
-    sub[:, 3] = (2 & 0x7) | (3 << 3)  # LineTo count 3
-    sub[:, 4::2][:, :3] = zzx[:, 1:4]
-    sub[:, 5::2][:, :3] = zzy[:, 1:4]
-    sub[:, 10] = 15  # ClosePath
-    out[rows] = sub
-    return is_r5, out
+    inter = np.empty(2 * len(px), dtype=np.int64)
+    inter[0::2] = zzx
+    inter[1::2] = zzy
+    row_start = np.full(n, -1, dtype=np.int64)
+    row_npts = np.zeros(n, dtype=np.int64)
+    row_start[rows] = starts
+    row_npts[rows] = npts
+    return is_p1, row_start, row_npts, inter
+
+
+def _poly1_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
+    # ring encode: MoveTo(pt0), LineTo(npts-2, skipping the closing dup),
+    # ClosePath (mvt.rs:273-317)
+    s2 = 2 * start
+    out = [9, int(inter[s2]), int(inter[s2 + 1]),
+           (2 & 0x7) | ((npts - 2) << 3)]
+    out.extend(inter[s2 + 2 : s2 + 2 * (npts - 1)].tolist())
+    out.append(15)
+    return out
 
 
 def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
@@ -312,7 +321,8 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     # ---- bulk fast paths: points + 5-pt single-ring polygons ----
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
     is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
-    is_r5, r5cmds = _bulk_rect5(wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    is_p1, p1_start, p1_npts, p1_inter = _bulk_poly1(
+        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
         wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
 
@@ -336,9 +346,10 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         for i in range(s, e):
             if is_pt_l[i]:
                 fmsg = _point_feature_bytes(fid_l[i], zzx_l[i], zzy_l[i])
-            elif is_r5[i]:
-                fmsg = M.encode_feature(fid_l[i], [], M.GEOM_POLYGON,
-                                        r5cmds[i].tolist())
+            elif is_p1[i]:
+                fmsg = M.encode_feature(
+                    fid_l[i], [], M.GEOM_POLYGON,
+                    _poly1_cmds(int(p1_start[i]), int(p1_npts[i]), p1_inter))
             elif is_ls[i]:
                 fmsg = M.encode_feature(
                     fid_l[i], [], M.GEOM_LINESTRING,
