@@ -69,9 +69,25 @@ def wrap_layer(head: bytes, feature_msgs: list[bytes], tail: bytes) -> bytes:
     return b"\x1a" + _varint(len(layer)) + layer
 
 
+def _canonical_rect_msg_tail(lng0: float, lat0: float, lng1: float,
+                             lat1: float, extent: int,
+                             buffer_px: float) -> bytes:
+    """Feature-message tail (type + packed geometry) for the canonical
+    buffered-rect polygon of one tile — shared by every empty-wkb record in
+    the tile's run. Byte-identical to encoding gridclip.rect_wkb geometry."""
+    from .mvt import _packed_u32, _tag
+
+    buf = (lng1 - lng0) * buffer_px / extent
+    bx0, by0, bx1, by1 = lng0 - buf, lat0 - buf, lng1 + buf, lat1 + buf
+    ring = np.array(
+        [[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1], [bx0, by0]])
+    cmds, gtype = M.encode_geometry((G.POLYGON, [ring]), lng0, lat0, lng1, lat1, extent)
+    return _tag(3, 0) + _varint(gtype) + _packed_u32(4, cmds)
+
+
 def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
                         y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
-                        extent: int):
+                        extent: int, buffer_px: float = 8.0):
     """Phase A of the salted two-phase encode: per consecutive
     (tile_id[, salt]) run, produce the per-feature protobuf messages WITHOUT
     wrapping them in a layer. Feature messages are independent byte segments
@@ -102,8 +118,14 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         fids_g: list[int] = []
         msgs_g: list[bytes] = []
         b0, a0, b1, a1 = lng0[gi], lat0[gi], lng1[gi], lat1[gi]
+        rect_tail: bytes | None = None
         for i in range(s, e):
-            if is_pt[i]:
+            if lens[i] == 0:  # canonical interior rect marker
+                if rect_tail is None:
+                    rect_tail = _canonical_rect_msg_tail(
+                        b0, a0, b1, a1, extent, buffer_px)
+                fmsg = b"\x08" + _varint(fid_l[i]) + rect_tail
+            elif is_pt[i]:
                 fmsg = _point_feature_bytes(fid_l[i], int(zzx[i]), int(zzy[i]))
             elif is_p1[i]:
                 fmsg = M.encode_feature(
@@ -299,7 +321,7 @@ def _poly1_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
 
 def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
                        y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
-                       layer_name: str, extent: int):
+                       layer_name: str, extent: int, buffer_px: float = 8.0):
     """Encode consecutive tile_id runs -> columns for the tiles DataFrame.
 
     Inputs are the (tile_id, feature_id)-sorted record columns of one chunk.
@@ -343,8 +365,14 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         s, e = starts[gi], ends[gi]
         parts = [layer_head]
         b0, a0, b1, a1 = lng0[gi], lat0[gi], lng1[gi], lat1[gi]
+        rect_tail: bytes | None = None
         for i in range(s, e):
-            if is_pt_l[i]:
+            if lens[i] == 0:  # canonical interior rect marker
+                if rect_tail is None:
+                    rect_tail = _canonical_rect_msg_tail(
+                        b0, a0, b1, a1, extent, buffer_px)
+                fmsg = b"\x08" + _varint(fid_l[i]) + rect_tail
+            elif is_pt_l[i]:
                 fmsg = _point_feature_bytes(fid_l[i], zzx_l[i], zzy_l[i])
             elif is_p1[i]:
                 fmsg = M.encode_feature(

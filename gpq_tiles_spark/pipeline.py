@@ -289,16 +289,13 @@ def make_fanout(config: TilerConfig):
                                     k_w.append(w)
                         if interior is not None and interior.any():
                             iy, ix = np.nonzero(interior)
-                            t0, a0, t1, a1 = T.tile_bounds(
-                                (rx0 + ix).astype(np.float64),
-                                (gyy0 + iy).astype(np.float64), z)
-                            buf = (t1 - t0) * buffer_px / extent
-                            for j in range(len(ix)):
-                                k_x.append(rx0 + ix[j])
-                                k_y.append(gyy0 + iy[j])
-                                k_w.append(GC.rect_wkb(
-                                    float(t0[j] - buf[j]), float(a0[j] - buf[j]),
-                                    float(t1[j] + buf[j]), float(a1[j] + buf[j])))
+                            # canonical interior rect: marked with an EMPTY
+                            # wkb — the encoder reconstructs the buffered
+                            # tile rect locally (same bytes), so the shuffle
+                            # never carries the 93-byte rect per record
+                            k_x.extend((rx0 + ix).tolist())
+                            k_y.extend((gyy0 + iy).tolist())
+                            k_w.extend([b""] * len(ix))
                         emit(z, k_x, k_y, [fid[r]] * len(k_x), k_w)
 
                 # ---------- small regime: vectorized explode ----------
@@ -455,6 +452,7 @@ def make_encoder(config: TilerConfig):
     (pipeline.rs:1179-1282) with zero extra shuffle.
     """
     layer_name, extent = config.layer_name, config.extent
+    buffer_px = config.buffer_pixels
 
     def encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         # production path writes empty properties into every tile
@@ -525,6 +523,7 @@ def make_partial_encoder(config: TilerConfig):
                 pdf["feature_id"].to_numpy(dtype=np.int64),
                 pdf["wkb"].to_numpy(),
                 extent,
+                config.buffer_pixels,
             )
             cols["tile_id"] = cols["tile_id"] // config.salt_buckets
             return pd.DataFrame(cols)

@@ -68,3 +68,29 @@ def test_fast_encoder_byte_parity():
     assert list(fast["tile_id"]) == sorted(ref.keys())
     for t, mvt in zip(fast["tile_id"], fast["mvt"]):
         assert mvt == ref[int(t)], f"byte mismatch for tile {t}"
+
+
+def test_empty_wkb_marker_equals_rect_wkb():
+    """An empty-wkb record must encode exactly like the explicit canonical
+    buffered-rect WKB it stands for."""
+    from gpq_tiles_spark.kernels import gridclip as GC
+
+    zz, xx, yy = 7, 41, 55
+    tid = int(H.tile_id(zz, np.array([xx]), np.array([yy]))[0])
+    lng0, lat0, lng1, lat1 = (
+        float(v[0]) for v in T.tile_bounds(np.array([xx]), np.array([yy]), zz))
+    buf = (lng1 - lng0) * 8 / 4096
+    rect = GC.rect_wkb(lng0 - buf, lat0 - buf, lng1 + buf, lat1 + buf)
+
+    args = (
+        np.array([tid, tid], dtype=np.int64),
+        np.array([zz, zz], dtype=np.int64),
+        np.array([xx, xx], dtype=np.int64),
+        np.array([yy, yy], dtype=np.int64),
+        np.array([10, 11], dtype=np.int64),
+    )
+    a = mvt_fast.encode_sorted_runs(*args, np.array([b"", b""], dtype=object),
+                                    "features", 4096, 8)
+    b = mvt_fast.encode_sorted_runs(*args, np.array([rect, rect], dtype=object),
+                                    "features", 4096, 8)
+    assert a["mvt"][0] == b["mvt"][0]

@@ -95,13 +95,9 @@ def scalar_phase1(features, config: TilerConfig):
                     if interior is not None:
                         for iy, ix in zip(*np.nonzero(interior)):
                             xx, yy = rx0 + ix, gyy0 + iy
-                            lng0, lat0, lng1, lat1 = (
-                                float(v[0]) for v in T.tile_bounds(
-                                    np.array([xx]), np.array([yy]), z))
-                            buf = (lng1 - lng0) * config.buffer_pixels / config.extent
-                            w = GC.rect_wkb(lng0 - buf, lat0 - buf, lng1 + buf, lat1 + buf)
                             tid = int(H.tile_id(z, np.array([xx]), np.array([yy]))[0])
-                            out.append((tid, z, xx, yy, fid, w))
+                            # canonical interior rect -> empty-wkb marker
+                            out.append((tid, z, xx, yy, fid, b""))
                 continue
             for xs0, xs1 in ranges:
                 for yy in range(gyy0, gyy1 + 1):
