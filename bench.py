@@ -91,22 +91,61 @@ def main() -> None:
     spark.stop()
 
     if scaling:
-        eff = {}
-        for cores in (8, 32):
-            s = _fresh_spark(cores)
-            dt, nt, nr = run_tiling(s, sf_dir)
-            eff[cores] = {"sec": round(dt, 3), "tiles_per_sec": round(nt / dt, 2),
-                          "records_per_sec": round(nr / dt, 2)}
-            s.stop()
-        thr_lo = eff[8]["records_per_sec"]
-        thr_hi = eff[32]["records_per_sec"]
-        result["scaling"] = {
-            "local8": eff[8],
-            "local32": eff[32],
-            "efficiency": round((thr_hi / thr_lo) / (32 / 8), 4) if thr_lo else None,
-        }
+        result["scaling"] = run_scaling()
 
     print(json.dumps(result))
+
+
+def _scaling_fixture(n_docs: int = 100_000) -> str:
+    """Deterministic interleaved-document fixture for the scaling runs
+    (seed 42, cached)."""
+    path = f"/tmp/gpq_bench/documents_{n_docs}.parquet"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/gpq_bench", exist_ok=True)
+        from gpq_tiles_spark.fixtures import write_fixture
+
+        write_fixture(path, n_docs=n_docs, seed=42, rows_per_group=5000)
+    return path
+
+
+def run_scaling(max_zoom: int = 12) -> dict:
+    """The north-rule N->4N criterion, sandbox substitution (BASELINE.md):
+    the identical interleaved-document tiling job (extract -> fan-out ->
+    range shuffle -> MVT encode) at local[8] vs local[32], throughput at
+    both + efficiency = (thr_hi / thr_lo) / (32 / 8)."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
+
+    docs_path = _scaling_fixture()
+    eff = {}
+    for cores in (8, 32):
+        spark = _fresh_spark(cores)
+        docs = spark.read.parquet(docs_path).repartition(8 * cores)
+        cfg = TilerConfig(min_zoom=0, max_zoom=max_zoom,
+                          shuffle_partitions=2 * cores)
+        t0 = time.perf_counter()
+        tiles = encode_tiles(fanout_records(extract_features(docs), cfg), cfg)
+        agg = tiles.agg(F.count("*"), F.sum("n_features")).collect()[0]
+        dt = time.perf_counter() - t0
+        eff[cores] = {
+            "sec": round(dt, 2),
+            "tiles": int(agg[0]),
+            "records": int(agg[1]),
+            "tiles_per_sec": round(int(agg[0]) / dt, 2),
+            "records_per_sec": round(int(agg[1]) / dt, 2),
+        }
+        spark.stop()
+    thr_lo = eff[8]["records_per_sec"]
+    thr_hi = eff[32]["records_per_sec"]
+    return {
+        "workload": f"interleaved-docs 100k, z0-{max_zoom} pyramid",
+        "local8": eff[8],
+        "local32": eff[32],
+        "efficiency": round((thr_hi / thr_lo) / (32 / 8), 4) if thr_lo else None,
+    }
 
 
 if __name__ == "__main__":

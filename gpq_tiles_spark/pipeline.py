@@ -597,31 +597,69 @@ def make_merge_encoder(config: TilerConfig):
     return merge
 
 
+def detect_hot_tiles(features: DataFrame, config: TilerConfig,
+                     threshold: int | None = None) -> list[int]:
+    """Estimate hot tiles WITHOUT materializing the fan-out: count feature
+    bbox-centers per tile at every zoom (pure Catalyst — the dominant class
+    in a hot tile is fully-inside features, whose center tile IS their
+    tile), then keep tiles above threshold.
+
+    Returns the tile_id list (small by construction: only tiles with more
+    than `threshold` co-located features).
+    """
+    from .functions.spatial_sql import tile_x_sql, tile_y_sql
+
+    threshold = threshold or config.hot_tile_threshold
+    cx = "((lng_min + lng_max) / 2.0)"
+    cy = "((lat_min + lat_max) / 2.0)"
+    selects = []
+    for z in range(config.min_zoom, config.max_zoom + 1):
+        n_max = (1 << z) - 1
+        xs = f"greatest(least({tile_x_sql(cx, z)}, {n_max}), 0)"
+        ys = f"greatest(least({tile_y_sql(cy, z)}, {n_max}), 0)"
+        selects.append(
+            features.selectExpr(f"{z} AS z", f"{xs} AS x", f"{ys} AS y")
+        )
+    union = selects[0]
+    for s in selects[1:]:
+        union = union.unionAll(s)
+    hot = (
+        union.groupBy("z", "x", "y").count()
+        .where(F.col("count") > threshold)
+        .collect()
+    )
+    if not hot:
+        return []
+    z_arr = np.array([r["z"] for r in hot])
+    x_arr = np.array([r["x"] for r in hot])
+    y_arr = np.array([r["y"] for r in hot])
+    return [int(t) for t in H.tile_id_mixed(z_arr, x_arr, y_arr)]
+
+
 def encode_tiles_salted(records: DataFrame, config: TilerConfig,
-                        num_partitions: int | None = None) -> DataFrame:
+                        num_partitions: int | None = None,
+                        hot_tile_ids: list[int] | None = None) -> DataFrame:
     """Skew-safe two-phase encode [north-star: explicit salted repartitioning
-    on hot tiles]. Hot tiles (> hot_tile_threshold records) get their
-    features split across salt_buckets sub-partitions for phase A, so no
-    single reduce task ever owns a dense urban tile alone; phase B merges
-    the buckets in feature_id order — output bytes identical to the
-    single-phase path.
+    on hot tiles]. Hot tiles get their features split across salt_buckets
+    sub-partitions for phase A, so no single reduce task ever owns a dense
+    urban tile alone; phase B merges the buckets in feature_id order —
+    output bytes identical to the single-phase path. Cold tiles take the
+    normal single-phase encode; the two outputs are unioned.
+
+    ``hot_tile_ids`` comes from ``detect_hot_tiles`` (no extra pass over the
+    fan-out); when empty this degrades to plain ``encode_tiles``.
     """
     parts = num_partitions or config.shuffle_partitions
-    hot = (
-        records.groupBy("tile_id")
-        .count()
-        .where(F.col("count") > config.hot_tile_threshold)
-        .select("tile_id", F.lit(True).alias("__hot"))
-    )
-    salted = (
-        records.join(F.broadcast(hot), "tile_id", "left")
-        .withColumn(
-            "salt",
-            F.when(F.col("__hot"),
-                   F.pmod(F.col("feature_id"), F.lit(config.salt_buckets)))
-            .otherwise(F.lit(0)).cast("long"),
-        )
-        .drop("__hot")
+    if hot_tile_ids is None:
+        raise ValueError("pass hot_tile_ids from detect_hot_tiles(features, config)")
+    if not hot_tile_ids:
+        return encode_tiles(records, config, num_partitions)
+
+    is_hot = F.col("tile_id").isin(hot_tile_ids)
+    cold_tiles = encode_tiles(records.where(~is_hot), config, num_partitions)
+
+    salted = records.where(is_hot).withColumn(
+        "salt", F.pmod(F.col("feature_id"), F.lit(config.salt_buckets)).cast("long")
     )
     shuffled = (
         salted.repartitionByRange(parts, "tile_id", "salt")
@@ -631,10 +669,11 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
         make_partial_encoder(config), schema=PARTIAL_SCHEMA
     )
     merged_in = (
-        partials.repartitionByRange(parts, "tile_id")
+        partials.repartitionByRange(max(parts or 8, 8), "tile_id")
         if parts else partials.repartitionByRange("tile_id")
     ).sortWithinPartitions("tile_id")
-    return merged_in.mapInPandas(make_merge_encoder(config), schema=TILES_SCHEMA)
+    hot_tiles = merged_in.mapInPandas(make_merge_encoder(config), schema=TILES_SCHEMA)
+    return cold_tiles.unionAll(hot_tiles)
 
 
 def fanout_records(features: DataFrame, config: TilerConfig) -> DataFrame:
@@ -675,7 +714,14 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         bounds = (row[0], row[1], row[2], row[3])
 
     records = fanout_records(features, config)
-    tiles = (encode_tiles_salted if salted else encode_tiles)(records, config)
+    if salted:
+        hot = detect_hot_tiles(features, config)
+        tiles = encode_tiles_salted(records, config, hot_tile_ids=hot)
+        # the hot/cold union is not globally ordered; restore tile order for
+        # the streaming assembly (tiles are few and small vs records)
+        tiles = tiles.orderBy("tile_id")
+    else:
+        tiles = encode_tiles(records, config)
 
     codec = P.COMPRESSION_GZIP if config.tile_compression == "gzip" else P.COMPRESSION_NONE
     asm = P.PMTilesAssembler(

@@ -6,7 +6,12 @@ import pytest
 from gpq_tiles_spark.config import TilerConfig
 from gpq_tiles_spark.extract import extract_features
 from gpq_tiles_spark.kernels import simplify as SK
-from gpq_tiles_spark.pipeline import encode_tiles, encode_tiles_salted, fanout_records
+from gpq_tiles_spark.pipeline import (
+    detect_hot_tiles,
+    encode_tiles,
+    encode_tiles_salted,
+    fanout_records,
+)
 
 
 def test_salted_matches_single_phase(spark, docs_table):
@@ -15,10 +20,13 @@ def test_salted_matches_single_phase(spark, docs_table):
                       hot_tile_threshold=5, salt_buckets=4)  # force salting
     records = fanout_records(feats, cfg).cache()
 
+    hot = detect_hot_tiles(feats, cfg)
+    assert hot, "low threshold must flag hot tiles"
+
     plain = {r.tile_id: (bytes(r.mvt), r.n_features)
              for r in encode_tiles(records, cfg).collect()}
     salted = {r.tile_id: (bytes(r.mvt), r.n_features)
-              for r in encode_tiles_salted(records, cfg).collect()}
+              for r in encode_tiles_salted(records, cfg, hot_tile_ids=hot).collect()}
 
     assert set(plain) == set(salted)
     diff = [t for t in plain if plain[t] != salted[t]]
