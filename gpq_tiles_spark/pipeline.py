@@ -655,11 +655,15 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
     if not hot_tile_ids:
         return encode_tiles(records, config, num_partitions)
 
+    # single-path: ONE pass over the fan-out; cold tiles carry salt=0 (one
+    # bucket, phase B is a no-op wrap), hot tiles spread over salt_buckets.
+    # Phase B's shuffle moves per-feature message bytes (~ final tile bytes),
+    # never re-clipped geometry.
     is_hot = F.col("tile_id").isin(hot_tile_ids)
-    cold_tiles = encode_tiles(records.where(~is_hot), config, num_partitions)
-
-    salted = records.where(is_hot).withColumn(
-        "salt", F.pmod(F.col("feature_id"), F.lit(config.salt_buckets)).cast("long")
+    salted = records.withColumn(
+        "salt",
+        F.when(is_hot, F.pmod(F.col("feature_id"), F.lit(config.salt_buckets)))
+        .otherwise(F.lit(0)).cast("long"),
     )
     shuffled = (
         salted.repartitionByRange(parts, "tile_id", "salt")
@@ -669,11 +673,10 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
         make_partial_encoder(config), schema=PARTIAL_SCHEMA
     )
     merged_in = (
-        partials.repartitionByRange(max(parts or 8, 8), "tile_id")
+        partials.repartitionByRange(parts, "tile_id")
         if parts else partials.repartitionByRange("tile_id")
     ).sortWithinPartitions("tile_id")
-    hot_tiles = merged_in.mapInPandas(make_merge_encoder(config), schema=TILES_SCHEMA)
-    return cold_tiles.unionAll(hot_tiles)
+    return merged_in.mapInPandas(make_merge_encoder(config), schema=TILES_SCHEMA)
 
 
 def fanout_records(features: DataFrame, config: TilerConfig) -> DataFrame:
@@ -717,9 +720,6 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
     if salted:
         hot = detect_hot_tiles(features, config)
         tiles = encode_tiles_salted(records, config, hot_tile_ids=hot)
-        # the hot/cold union is not globally ordered; restore tile order for
-        # the streaming assembly (tiles are few and small vs records)
-        tiles = tiles.orderBy("tile_id")
     else:
         tiles = encode_tiles(records, config)
 
