@@ -108,6 +108,18 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
         wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    p1_idx = np.full(n, -1, dtype=np.int64)
+    if is_p1.any():
+        p1_rows = np.flatnonzero(is_p1)
+        p1_idx[p1_rows] = np.arange(len(p1_rows))
+        p1_buf, p1_boff, p1_blen = _batch_geom_fields(
+            p1_start, p1_npts, p1_rows, p1_inter, "poly")
+    ls_idx = np.full(n, -1, dtype=np.int64)
+    if is_ls.any():
+        ls_rows = np.flatnonzero(is_ls)
+        ls_idx[ls_rows] = np.arange(len(ls_rows))
+        ls_buf, ls_boff, ls_blen = _batch_geom_fields(
+            ls_start, ls_npts, ls_rows, ls_inter, "line")
     zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
     zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
     fid_l = fid.tolist()
@@ -128,13 +140,17 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
             elif is_pt[i]:
                 fmsg = _point_feature_bytes(fid_l[i], int(zzx[i]), int(zzy[i]))
             elif is_p1[i]:
-                fmsg = M.encode_feature(
-                    fid_l[i], [], M.GEOM_POLYGON,
-                    _poly1_cmds(int(p1_start[i]), int(p1_npts[i]), p1_inter))
+                j = p1_idx[i]
+                o = p1_boff[j]
+                fmsg = (b"\x08" + _varint(fid_l[i]) + b"\x18\x03\x22"
+                        + _varint(int(p1_blen[j]))
+                        + p1_buf[o : o + p1_blen[j]])
             elif is_ls[i]:
-                fmsg = M.encode_feature(
-                    fid_l[i], [], M.GEOM_LINESTRING,
-                    _line_cmds(int(ls_start[i]), int(ls_npts[i]), ls_inter))
+                j = ls_idx[i]
+                o = ls_boff[j]
+                fmsg = (b"\x08" + _varint(fid_l[i]) + b"\x18\x02\x22"
+                        + _varint(int(ls_blen[j]))
+                        + ls_buf[o : o + ls_blen[j]])
             else:
                 g = G.from_wkb(bytes(wkbs[i]))
                 cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
@@ -308,6 +324,73 @@ def _bulk_poly1(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
     return is_p1, row_start, row_npts, inter
 
 
+def _batch_geom_fields(row_start: np.ndarray, row_npts: np.ndarray,
+                       rows: np.ndarray, inter: np.ndarray,
+                       kind: str) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Vectorized packed-geometry-field bytes for many rows at once.
+
+    Builds the full MVT command-value array for all `rows` (each row is a
+    single-ring polygon or a linestring whose zigzag pairs live in `inter`
+    at [2*start, 2*start+2*npts)), varint-encodes everything in ONE numpy
+    pass, and returns (buffer, byte_offsets, byte_lengths) so each row's
+    field-4 payload is a cheap slice. Byte-identical to the per-row
+    _poly1_cmds/_line_cmds + varint path.
+    """
+    n_rows = len(rows)
+    s = row_start[rows]
+    p = row_npts[rows]
+    if kind == "poly":
+        # [MoveTo1, zz0x, zz0y, LineTo(n-2), pairs(1..n-2), ClosePath]
+        per_row = 2 * p + 1
+    else:
+        # [MoveTo1, zz0x, zz0y, LineTo(n-1), pairs(1..n-1)]
+        per_row = 2 * p + 2
+    offs = np.concatenate(([0], np.cumsum(per_row)[:-1]))
+    total = int(per_row.sum())
+    vals = np.empty(total, dtype=np.uint64)
+    vals[offs] = 9  # MoveTo count 1
+    vals[offs + 1] = inter[2 * s]
+    vals[offs + 2] = inter[2 * s + 1]
+    if kind == "poly":
+        vals[offs + 3] = (2 & 0x7) | ((p - 2) << 3)
+        vals[offs + per_row - 1] = 15  # ClosePath
+        n_mid = 2 * (p - 2)
+    else:
+        vals[offs + 3] = (2 & 0x7) | ((p - 1) << 3)
+        n_mid = 2 * (p - 1)
+    # gather the middle zigzag pairs: out positions offs+4.., src 2s+2..
+    mid_rows = np.repeat(np.arange(n_rows), n_mid)
+    mid_starts_out = np.concatenate(([0], np.cumsum(n_mid)[:-1]))
+    local = np.arange(int(n_mid.sum()), dtype=np.int64) - mid_starts_out[mid_rows]
+    vals[offs[mid_rows] + 4 + local] = inter[2 * s[mid_rows] + 2 + local]
+
+    # vectorized varints
+    nb = np.ones(total, dtype=np.int64)
+    nb += (
+        (vals >= (1 << 7)).astype(np.int64)
+        + (vals >= (1 << 14)).astype(np.int64)
+        + (vals >= (1 << 21)).astype(np.int64)
+        + (vals >= (1 << 28)).astype(np.int64)
+    )
+    byte_total = int(nb.sum())
+    out = np.zeros(byte_total, dtype=np.uint8)
+    bpos = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    for k in range(5):
+        m = nb > k
+        if not m.any():
+            break
+        byte = ((vals[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] > k + 1).astype(np.uint8) << 7
+        out[bpos[m] + k] = byte | cont
+    # per-row byte ranges
+    row_end_vals = offs + per_row  # exclusive value index per row
+    byte_off = bpos[offs]
+    byte_end = np.empty(n_rows, dtype=np.int64)
+    byte_end[:-1] = bpos[offs[1:]]
+    byte_end[-1] = byte_total
+    return out.tobytes(), byte_off, byte_end - byte_off
+
+
 def _poly1_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
     # ring encode: MoveTo(pt0), LineTo(npts-2, skipping the closing dup),
     # ClosePath (mvt.rs:273-317)
@@ -347,6 +430,18 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
         wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    p1_idx = np.full(n, -1, dtype=np.int64)
+    if is_p1.any():
+        p1_rows = np.flatnonzero(is_p1)
+        p1_idx[p1_rows] = np.arange(len(p1_rows))
+        p1_buf, p1_boff, p1_blen = _batch_geom_fields(
+            p1_start, p1_npts, p1_rows, p1_inter, "poly")
+    ls_idx = np.full(n, -1, dtype=np.int64)
+    if is_ls.any():
+        ls_rows = np.flatnonzero(is_ls)
+        ls_idx[ls_rows] = np.arange(len(ls_rows))
+        ls_buf, ls_boff, ls_blen = _batch_geom_fields(
+            ls_start, ls_npts, ls_rows, ls_inter, "line")
 
     zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
     zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
@@ -375,13 +470,17 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
             elif is_pt_l[i]:
                 fmsg = _point_feature_bytes(fid_l[i], zzx_l[i], zzy_l[i])
             elif is_p1[i]:
-                fmsg = M.encode_feature(
-                    fid_l[i], [], M.GEOM_POLYGON,
-                    _poly1_cmds(int(p1_start[i]), int(p1_npts[i]), p1_inter))
+                j = p1_idx[i]
+                o = p1_boff[j]
+                fmsg = (b"\x08" + _varint(fid_l[i]) + b"\x18\x03\x22"
+                        + _varint(int(p1_blen[j]))
+                        + p1_buf[o : o + p1_blen[j]])
             elif is_ls[i]:
-                fmsg = M.encode_feature(
-                    fid_l[i], [], M.GEOM_LINESTRING,
-                    _line_cmds(int(ls_start[i]), int(ls_npts[i]), ls_inter))
+                j = ls_idx[i]
+                o = ls_boff[j]
+                fmsg = (b"\x08" + _varint(fid_l[i]) + b"\x18\x02\x22"
+                        + _varint(int(ls_blen[j]))
+                        + ls_buf[o : o + ls_blen[j]])
             else:
                 g = G.from_wkb(bytes(wkbs[i]))
                 cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
