@@ -3,7 +3,33 @@
 A from-scratch Spark reimplementation of the capabilities of
 geoparquet-io/gpq-tiles (reference at /root/reference, read-only),
 expressed as DataFrame algebra + vectorized numpy/pandas kernels.
-See SURVEY.md for the full structural analysis.
+See SURVEY.md for the full structural analysis and COVERAGE.md for the
+operator-by-operator map.
+
+Public surface::
+
+    from gpq_tiles_spark import TilerConfig, convert, extract_features
+    from gpq_tiles_spark.session import get_spark
+
+    spark = get_spark()
+    docs = spark.read.parquet("documents.parquet")   # (doc_id, spans)
+    stats = convert(extract_features(docs), "out.pmtiles",
+                    TilerConfig(min_zoom=0, max_zoom=14))
 """
 
 __version__ = "0.1.0"
+
+from .config import TilerConfig  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep kernel-only imports Spark-free
+    if name in ("convert", "fanout_records", "encode_tiles",
+                "encode_tiles_salted", "detect_hot_tiles"):
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    if name in ("extract_features", "span_sequences"):
+        from . import extract
+
+        return getattr(extract, name)
+    raise AttributeError(name)
