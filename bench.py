@@ -5,7 +5,8 @@ and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``--scaling`` additionally runs the tiling pipeline at two parallelism levels
-(local[8] vs local[32]) on the same input and reports throughput at both plus
+(local[4] vs local[16], both below hardware saturation) on the same input,
+steady-state (after a warmup pass), and reports throughput at both plus
 efficiency = (thr_hi / thr_lo) / (cores_hi / cores_lo) — the sandbox
 substitution for the north rule's N->4N cluster criterion (BASELINE.md).
 """
