@@ -185,6 +185,34 @@ def tile_id_mixed(z, x, y) -> np.ndarray:
     return out
 
 
+_BASES = np.array([0] + [sum(4**i for i in range(1, z)) for z in range(1, 31)],
+                  dtype=np.uint64)
+
+
+def tile_id_to_zxy_vec(tids) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized inverse of tile_id: (z, x, y) arrays.
+
+    z via searchsorted over the cumulative bases; per distinct z the Hilbert
+    inverse runs vectorized over that z's rows.
+    """
+    t = np.asarray(tids).astype(np.uint64)
+    # z = largest level with base(z) < tid  (tid in [base+1, base+4^z]);
+    # side='left' resolves the base(z+1) == base(z) + 4^z boundary correctly
+    z = np.searchsorted(_BASES, t, side="left").astype(np.int64) - 1
+    z = np.where(t == 0, 0, z)
+    x = np.zeros(len(t), dtype=np.uint64)
+    y = np.zeros(len(t), dtype=np.uint64)
+    for zz in np.unique(z):
+        if zz == 0:
+            continue
+        m = z == zz
+        d = t[m] - _BASES[int(zz)] - np.uint64(1)
+        xs, ys = hilbert_z_to_xy(int(zz), d)
+        x[m] = xs
+        y[m] = ys
+    return z, x.astype(np.int64), y.astype(np.int64)
+
+
 def tile_id_to_zxy(tid: int) -> tuple[int, int, int]:
     """Scalar inverse of tile_id (driver-side reader use)."""
     if tid == 0:

@@ -22,6 +22,7 @@ import numpy as np
 
 from . import geom as G
 from . import mvt as M
+from . import hilbert as Hc
 from . import tile_math as T
 from .hashes import content_hash64
 
@@ -85,8 +86,8 @@ def _canonical_rect_msg_tail(lng0: float, lat0: float, lng1: float,
     return _tag(3, 0) + _varint(gtype) + _packed_u32(4, cmds)
 
 
-def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
-                        y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
+def encode_partial_runs(run_key: np.ndarray, tid: np.ndarray,
+                        fid: np.ndarray, wkbs: np.ndarray,
                         extent: int, buffer_px: float = 8.0):
     """Phase A of the salted two-phase encode: per consecutive
     (tile_id[, salt]) run, produce the per-feature protobuf messages WITHOUT
@@ -97,9 +98,10 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     Returns dict with per-run: tile_id, z, x, y, n_records, fids, msgs.
     """
     n = len(tid)
-    starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+    starts = np.flatnonzero(np.concatenate(([True], run_key[1:] != run_key[:-1])))
     ends = np.append(starts[1:], n)
-    lng0, lat0, lng1, lat1 = T.tile_bounds_mixed(x[starts], y[starts], z[starts])
+    g_z, g_x, g_y = Hc.tile_id_to_zxy_vec(tid[starts])
+    lng0, lat0, lng1, lat1 = T.tile_bounds_mixed(g_x, g_y, g_z)
     sizes = ends - starts
     gidx = np.repeat(np.arange(len(starts)), sizes)
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
@@ -163,9 +165,9 @@ def encode_partial_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
         out_msgs.append(msgs_g)
     return {
         "tile_id": tid[starts],
-        "z": z[starts].astype(np.int32),
-        "x": x[starts],
-        "y": y[starts],
+        "z": g_z.astype(np.int32),
+        "x": g_x,
+        "y": g_y,
         "n_records": sizes.astype(np.int64),
         "fids": out_fids,
         "msgs": out_msgs,
@@ -402,8 +404,7 @@ def _poly1_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
     return out
 
 
-def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
-                       y: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
+def encode_sorted_runs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
                        layer_name: str, extent: int, buffer_px: float = 8.0):
     """Encode consecutive tile_id runs -> columns for the tiles DataFrame.
 
@@ -415,9 +416,9 @@ def encode_sorted_runs(tid: np.ndarray, z: np.ndarray, x: np.ndarray,
     starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     ends = np.append(starts[1:], n)
     g_tid = tid[starts]
-    g_z = z[starts]
-    g_x = x[starts]
-    g_y = y[starts]
+    # records carry only tile_id (narrow shuffle rows); (z, x, y) are
+    # recovered per run with the vectorized Hilbert inverse
+    g_z, g_x, g_y = Hc.tile_id_to_zxy_vec(g_tid)
     lng0, lat0, lng1, lat1 = T.tile_bounds_mixed(g_x, g_y, g_z)
     n_groups = len(starts)
     sizes = ends - starts

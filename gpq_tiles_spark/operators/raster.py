@@ -59,7 +59,11 @@ def rasterize_points(records: DataFrame, zoom: int, grid_size: int = 64) -> Data
     """Point records (tile_id, z, x, y, wkb) at one zoom -> per-tile density
     grids. Expects tile_id-sorted input (reuses the pipeline's range
     shuffle); consecutive-run grouping like the MVT encoder."""
-    pts = records.where(F.col("z") == zoom)
+    from ..kernels.hilbert import _base_id
+
+    lo = _base_id(zoom) + 1 if zoom > 0 else 0
+    hi = _base_id(zoom) + 4**zoom if zoom > 0 else 0
+    pts = records.where(F.col("tile_id").between(lo, hi))
     shuffled = pts.repartitionByRange("tile_id").sortWithinPartitions("tile_id")
 
     def grids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,14 +85,17 @@ def rasterize_points(records: DataFrame, zoom: int, grid_size: int = 64) -> Data
 
 
 def _grid_chunk(pdf: pd.DataFrame, grid_size: int) -> pd.DataFrame:
+    from ..kernels.hilbert import tile_id_to_zxy_vec
+
     tid = pdf["tile_id"].to_numpy()
     starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     ends = np.append(starts[1:], len(tid))
+    g_z, g_x, g_y = tile_id_to_zxy_vec(tid[starts])
     rows = {k: [] for k in ("tile_id", "z", "x", "y", "grid", "grid_size")}
-    for s, e in zip(starts, ends):
-        z = int(pdf["z"].iloc[s])
-        xx = int(pdf["x"].iloc[s])
-        yy = int(pdf["y"].iloc[s])
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        z = int(g_z[gi])
+        xx = int(g_x[gi])
+        yy = int(g_y[gi])
         lng0, lat0, lng1, lat1 = (
             float(v[0]) for v in T.tile_bounds(np.array([xx]), np.array([yy]), z)
         )

@@ -459,13 +459,11 @@ def make_encoder(config: TilerConfig):
         # (pipeline.rs:949, :1215); features carry id + geometry only.
         cols = mvt_fast.encode_sorted_runs(
             pdf["tile_id"].to_numpy(dtype=np.int64),
-            pdf["z"].to_numpy(dtype=np.int64),
-            pdf["x"].to_numpy(dtype=np.int64),
-            pdf["y"].to_numpy(dtype=np.int64),
             pdf["feature_id"].to_numpy(dtype=np.int64),
             pdf["wkb"].to_numpy(),
             layer_name,
             extent,
+            buffer_px,
         )
         return pd.DataFrame(cols)
 
@@ -512,20 +510,18 @@ def make_partial_encoder(config: TilerConfig):
         pend: pd.DataFrame | None = None
 
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            tid = pdf["tile_id"].to_numpy(dtype=np.int64)
+            run_key = tid * np.int64(config.salt_buckets) + pdf["salt"].to_numpy(
+                dtype=np.int64
+            )
             cols = mvt_fast.encode_partial_runs(
-                # runs keyed on (tile_id, salt): fold salt into the run key by
-                # offsetting tile_id in a scratch column, then restore
-                (pdf["tile_id"].to_numpy(dtype=np.int64) * np.int64(config.salt_buckets)
-                 + pdf["salt"].to_numpy(dtype=np.int64)),
-                pdf["z"].to_numpy(dtype=np.int64),
-                pdf["x"].to_numpy(dtype=np.int64),
-                pdf["y"].to_numpy(dtype=np.int64),
+                run_key,
+                tid,
                 pdf["feature_id"].to_numpy(dtype=np.int64),
                 pdf["wkb"].to_numpy(),
                 extent,
                 config.buffer_pixels,
             )
-            cols["tile_id"] = cols["tile_id"] // config.salt_buckets
             return pd.DataFrame(cols)
 
         for pdf in batches:

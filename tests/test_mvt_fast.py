@@ -62,7 +62,7 @@ def test_fast_encoder_byte_parity():
     fid = np.array([r[4] for r in rows], dtype=np.int64)
     wkbs = np.array([r[5] for r in rows], dtype=object)
 
-    fast = mvt_fast.encode_sorted_runs(tid, z, x, y, fid, wkbs, "features", 4096)
+    fast = mvt_fast.encode_sorted_runs(tid, fid, wkbs, "features", 4096)
     ref = _reference_encode(tid, z, x, y, fid, wkbs, "features", 4096)
 
     assert list(fast["tile_id"]) == sorted(ref.keys())
@@ -84,9 +84,6 @@ def test_empty_wkb_marker_equals_rect_wkb():
 
     args = (
         np.array([tid, tid], dtype=np.int64),
-        np.array([zz, zz], dtype=np.int64),
-        np.array([xx, xx], dtype=np.int64),
-        np.array([yy, yy], dtype=np.int64),
         np.array([10, 11], dtype=np.int64),
     )
     a = mvt_fast.encode_sorted_runs(*args, np.array([b"", b""], dtype=object),
