@@ -1,0 +1,106 @@
+"""Property-based kernel tests (hypothesis) — the reference declares proptest
+but never uses it (SURVEY.md §5); we actually do."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gpq_tiles_spark.kernels import geom as G
+from gpq_tiles_spark.kernels import hilbert as H
+from gpq_tiles_spark.kernels import mvt as M
+from gpq_tiles_spark.kernels import pmtiles as P
+from gpq_tiles_spark.kernels import tile_math as T
+
+u32 = st.integers(min_value=0, max_value=2**32 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(u32, u32)
+def test_zorder_round_trip_prop(wx, wy):
+    d = H.encode_zorder(wx, wy)
+    bx, by = H.decode_zorder(d)
+    assert (int(bx[()]), int(by[()])) == (wx, wy)
+
+
+@settings(max_examples=200, deadline=None)
+@given(u32, u32)
+def test_hilbert_round_trip_prop(wx, wy):
+    d = H.encode_hilbert(wx, wy)
+    bx, by = H.decode_hilbert(d)
+    assert (int(bx[()]), int(by[()])) == (wx, wy)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=14), st.data())
+def test_tile_id_round_trip_prop(z, data):
+    n = 1 << z
+    x = data.draw(st.integers(min_value=0, max_value=n - 1))
+    y = data.draw(st.integers(min_value=0, max_value=n - 1))
+    tid = int(H.tile_id(z, np.array([x]), np.array([y]))[0])
+    assert H.tile_id_to_zxy(tid) == (z, x, y)
+    zz, xb, yb = H.tile_id_to_zxy_vec(np.array([tid]))
+    assert (int(zz[0]), int(xb[0]), int(yb[0])) == (z, x, y)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_zigzag_round_trip_prop(v):
+    assert int(M.zigzag_decode(M.zigzag_encode(v))[()]) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**35 - 1), min_size=0, max_size=40))
+def test_varint_array_matches_scalar(vals):
+    scalar = b"".join(M._varint(v) for v in vals)
+    assert M.varint_array_u32(vals) == scalar
+    # and the directory varint decoder agrees
+    i = 0
+    out = []
+    data = scalar
+    while i < len(data):
+        v, i = P.decode_varint(data, i)
+        out.append(v)
+    assert out == list(vals)
+
+
+_coord = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False,
+                   allow_infinity=False, width=64)
+_lat = st.floats(min_value=-84.9, max_value=84.9, allow_nan=False,
+                 allow_infinity=False, width=64)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(_coord, _lat), min_size=2, max_size=30))
+def test_wkb_linestring_round_trip_prop(pts):
+    g = (G.LINESTRING, np.array(pts, dtype=np.float64))
+    back = G.from_wkb(G.to_wkb(g))
+    assert back[0] == G.LINESTRING
+    np.testing.assert_array_equal(back[1], g[1])
+
+
+@settings(max_examples=100, deadline=None)
+@given(_coord, _lat, st.integers(min_value=0, max_value=14))
+def test_point_tile_containment_prop(lng, lat, z):
+    """A point's assigned tile's bounds must contain it (inclusive-left)."""
+    x, y = T.lng_lat_to_tile_xy(np.array([lng]), np.array([lat]), z)
+    lng0, lat0, lng1, lat1 = (float(v[0]) for v in T.tile_bounds(x, y, z))
+    assert lng0 <= lng <= lng1 + 1e-9
+    assert lat0 - 1e-9 <= lat <= lat1 + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10**7), st.integers(0, 10**4)),
+                min_size=1, max_size=30))
+def test_directory_round_trip_prop(raw):
+    # build well-formed ascending entries
+    entries = []
+    tid = 0
+    off = 0
+    for d_tid, length in raw:
+        tid += d_tid + 1
+        entries.append(P.DirEntry(tid, off, length + 1, 1))
+        off += length + 1
+    data = P.encode_directory(entries)
+    back = P.decode_directory(data)
+    assert [(e.tile_id, e.offset, e.length, e.run_length) for e in back] == [
+        (e.tile_id, e.offset, e.length, e.run_length) for e in entries]
