@@ -81,11 +81,18 @@ def test_wkb_linestring_round_trip_prop(pts):
 @settings(max_examples=100, deadline=None)
 @given(_coord, _lat, st.integers(min_value=0, max_value=14))
 def test_point_tile_containment_prop(lng, lat, z):
-    """A point's assigned tile's bounds must contain it (inclusive-left)."""
+    """A point's assigned tile's bounds contain it up to float rounding.
+
+    The (lng + 180) addition can absorb a ~1-ulp-of-180 offset (2.9e-14 deg),
+    pushing boundary-adjacent points into the neighbor tile — the reference's
+    formula (tile.rs:112-123) behaves identically, and the 8-px tile buffer
+    (~0.002 tile widths) swallows it in the real pipeline."""
+    eps = 1e-12
     x, y = T.lng_lat_to_tile_xy(np.array([lng]), np.array([lat]), z)
     lng0, lat0, lng1, lat1 = (float(v[0]) for v in T.tile_bounds(x, y, z))
-    assert lng0 <= lng <= lng1 + 1e-9
-    assert lat0 - 1e-9 <= lat <= lat1 + 1e-9
+    span = lng1 - lng0
+    assert lng0 - eps * span <= lng <= lng1 + eps * span
+    assert lat0 - eps * 180 <= lat <= lat1 + eps * 180
 
 
 @settings(max_examples=100, deadline=None)
