@@ -19,6 +19,7 @@ class TilerConfig:
     density_cell_size: int = 16
     density_max_per_cell: int = 1
     tile_compression: str = "gzip"  # gzip | none (zstd/brotli unavailable here)
+    simplification: str = "dp"  # dp (reference parity) | visvalingam (T18)
     include_properties: list[str] | None = None
     exclude_properties: list[str] | None = None
     exclude_all_properties: bool = False
@@ -34,4 +35,6 @@ class TilerConfig:
             raise ValueError("extent must be positive")
         if self.tile_compression not in ("gzip", "none"):
             raise ValueError(f"unsupported compression {self.tile_compression!r}")
+        if self.simplification not in ("dp", "visvalingam"):
+            raise ValueError(f"unsupported simplification {self.simplification!r}")
         return self

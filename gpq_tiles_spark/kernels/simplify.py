@@ -73,24 +73,35 @@ def rdp(coords: np.ndarray, epsilon: float) -> np.ndarray:
     return pts[keep]
 
 
-def simplify_for_zoom(g: Geom, zoom: int, extent: int) -> Geom:
-    """Production-path simplification (degree tolerance, simplify.rs:42-89)."""
+def simplify_for_zoom(g: Geom, zoom: int, extent: int,
+                      algorithm: str = "dp") -> Geom:
+    """Production-path simplification (degree tolerance, simplify.rs:42-89).
+
+    algorithm='dp' (default) is the reference's Douglas-Peucker; 'visvalingam'
+    [north-star extension T18] uses effective-area elimination with
+    min_area = tolerance^2 (the standard DP->VW threshold mapping)."""
     tol = zoom_tolerance_degrees(zoom, extent)
     if tol < 1e-10:
         return g
+    if algorithm == "visvalingam":
+        def fn(coords):
+            return visvalingam(coords, tol * tol)
+    else:
+        def fn(coords):
+            return rdp(coords, tol)
     t, d = g
     if t in (POINT, MULTIPOINT):
         return g
     if t == LINESTRING:
         if len(d) < 2:
             return g
-        return (LINESTRING, rdp(d, tol))
+        return (LINESTRING, fn(d))
     if t == MULTILINESTRING:
-        return (MULTILINESTRING, [ls if len(ls) < 2 else rdp(ls, tol) for ls in d])
+        return (MULTILINESTRING, [ls if len(ls) < 2 else fn(ls) for ls in d])
     if t == POLYGON:
-        return (POLYGON, [rdp(r, tol) for r in d])
+        return (POLYGON, [fn(r) for r in d])
     if t == MULTIPOLYGON:
-        return (MULTIPOLYGON, [[rdp(r, tol) for r in rings] for rings in d])
+        return (MULTIPOLYGON, [[fn(r) for r in rings] for rings in d])
     return g
 
 

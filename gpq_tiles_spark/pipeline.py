@@ -61,12 +61,12 @@ from .kernels import tile_math as T
 from .kernels import validate as VK
 from .kernels.hashes import content_hash64, siphash13_coords
 
+# narrow shuffle rows: (z, x, y) are derivable from tile_id (the cumulative
+# Hilbert id is self-describing), so the one wide shuffle carries 24 fewer
+# bytes per record — at 10^12-record scale that is the dominant byte stream
 RECORDS_SCHEMA = StructType(
     [
         StructField("tile_id", LongType(), False),
-        StructField("z", IntegerType(), False),
-        StructField("x", LongType(), False),
-        StructField("y", LongType(), False),
         StructField("feature_id", LongType(), False),
         StructField("wkb", BinaryType(), False),
     ]
@@ -89,7 +89,8 @@ TILES_SCHEMA = StructType(
 # Phase 1: fan-out
 # ---------------------------------------------------------------------------
 
-def _prep_feature(wkb: bytes, max_zoom: int, extent: int):
+def _prep_feature(wkb: bytes, max_zoom: int, extent: int,
+                  simplification: str = "dp"):
     """Per-feature once-only work: decode, pre-simplify at max_zoom tolerance
     (pipeline.rs:860-863), validate, re-encode, drop-rule precomputations.
 
@@ -97,7 +98,7 @@ def _prep_feature(wkb: bytes, max_zoom: int, extent: int):
     reused across every (zoom, tile) this feature lands in.
     """
     g = G.from_wkb(wkb)
-    simplified = SK.simplify_for_zoom(g, max_zoom, extent)
+    simplified = SK.simplify_for_zoom(g, max_zoom, extent, simplification)
     validated = VK.filter_valid_geometry(simplified)
     cache = {"geom": simplified, "valid": validated}
     if validated is None:
@@ -169,6 +170,7 @@ def make_fanout(config: TilerConfig):
     """
     min_zoom, max_zoom = config.min_zoom, config.max_zoom
     extent, buffer_px = config.extent, config.buffer_pixels
+    simplification = config.simplification
 
     def fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,9 +192,6 @@ def make_fanout(config: TilerConfig):
             )
 
             out_tid: list[np.ndarray] = []
-            out_z: list[np.ndarray] = []
-            out_x: list[np.ndarray] = []
-            out_y: list[np.ndarray] = []
             out_fid: list[np.ndarray] = []
             out_wkb: list[list] = []
 
@@ -202,16 +201,14 @@ def make_fanout(config: TilerConfig):
                 xs_a = np.asarray(xs_e, dtype=np.int64)
                 ys_a = np.asarray(ys_e, dtype=np.int64)
                 out_tid.append(H.tile_id(z, xs_a, ys_a).astype(np.int64))
-                out_z.append(np.full(len(xs_a), z, dtype=np.int32))
-                out_x.append(xs_a)
-                out_y.append(ys_a)
                 out_fid.append(np.asarray(fids_e, dtype=np.int64))
                 out_wkb.append(list(wkbs_e))
 
             def get_cache(r: int) -> dict:
                 c = caches[r]
                 if c is None:
-                    c = caches[r] = _prep_feature(wkbs[r], max_zoom, extent)
+                    c = caches[r] = _prep_feature(wkbs[r], max_zoom, extent,
+                                                  simplification)
                 return c
 
             for z in range(min_zoom, max_zoom + 1):
@@ -386,9 +383,6 @@ def make_fanout(config: TilerConfig):
             yield pd.DataFrame(
                 {
                     "tile_id": np.concatenate(out_tid),
-                    "z": np.concatenate(out_z),
-                    "x": np.concatenate(out_x),
-                    "y": np.concatenate(out_y),
                     "feature_id": np.concatenate(out_fid),
                     "wkb": [w for chunk in out_wkb for w in chunk],
                 }
