@@ -188,10 +188,12 @@ def _sql_dedup_exact() -> str:
 
 def _sql_token_counts() -> str:
     # north-star token counting (whitespace tokens, exact integer arithmetic)
+    # CAST(SUM .. AS BIGINT): DuckDB sums ints into HUGEINT (int128) while
+    # Spark returns BIGINT; the driver hash is dtype-sensitive, values match.
     tok = "(length(text) - length(replace(text, ' ', '')) + 1)"
     return f"""
         SELECT lang,
-               SUM({tok}) AS total_tokens,
+               CAST(SUM({tok}) AS BIGINT) AS total_tokens,
                COUNT(*) AS n_docs,
                CAST(SUM({tok}) AS DOUBLE) / COUNT(*) AS avg_tokens
         FROM documents
@@ -221,7 +223,7 @@ def _sql_langid() -> str:
     )
     return f"""
         SELECT source,
-               SUM(CAST({hits} AS BIGINT)) AS en_hits,
+               CAST(SUM(CAST({hits} AS BIGINT)) AS BIGINT) AS en_hits,
                COUNT(*) AS n_docs
         FROM documents
         GROUP BY source
@@ -317,8 +319,11 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpq_tiles_spark.operators.dedup import minhash_near_duplicates
 
     _register(spark, sf_dir)
-    return minhash_near_duplicates(spark.table("documents"), text_col="text",
-                                   id_col="doc_id", num_perm=32, bands=8)
+    # scalar columns only (the driver canonicalizer cannot hash array cells)
+    return minhash_near_duplicates(
+        spark.table("documents"), text_col="text",
+        id_col="doc_id", num_perm=32, bands=8,
+    ).select("band", "bucket", "n_docs")
 
 
 def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +339,29 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=8)
     tiles = encode_tiles(fanout_records(feats, cfg), cfg)
     return tiles.select("tile_id", "z", "x", "y", "n_features")
+
+
+def _q_tile_records_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed tile-pipeline check: fan-out -> range shuffle -> encode
+    at min_zoom=max_zoom=8 over point features. At base zoom the thinning
+    rule (D1) keeps every point and each point lands in exactly one tile
+    (pipeline.rs:866-950 semantics), so per-tile feature counts equal the
+    pure-SQL z8 tile assignment — a bit-exact oracle over the WHOLE engine
+    path (fanout kernel, single wide shuffle, run-grouped MVT encode)."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
+
+    _register(spark, sf_dir)
+    feats = _event_features(spark)
+    cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
+    tiles = encode_tiles(fanout_records(feats, cfg), cfg)
+    return tiles.select(
+        F.col("x").alias("tx"),
+        F.col("y").alias("ty"),
+        F.col("n_features").alias("n_points"),
+    )
 
 
 def _event_features(spark: SparkSession) -> DataFrame:
@@ -435,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["hilbert_order"] = _q_hilbert_order
     out["minhash_neardup"] = _q_minhash_neardup
     out["tile_pipeline_z8"] = _q_tile_pipeline
+    out["tile_records_z8"] = _q_tile_records_z8
     return out
 
 
@@ -442,4 +471,6 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLE_SQL)
     for name, (_spark, duck_sql) in _DIALECT_SQL.items():
         out[name] = duck_sql
+    # engine-backed query whose result is provably the z8 assignment SQL
+    out["tile_records_z8"] = _sql_tile_assign_z8()
     return out

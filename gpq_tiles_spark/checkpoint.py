@@ -150,6 +150,16 @@ def convert_with_checkpoints(spark: SparkSession, docs_path: str, output_path: s
             tile_compression=codec, layer_name=config.layer_name,
             min_zoom=config.min_zoom, max_zoom=config.max_zoom,
         )
+        # header bounds come from the extracted features (same as
+        # pipeline.convert); without this the sentinel [180,90,-180,-90]
+        # would be written, giving viewers an inverted/empty extent
+        brow = feats.agg(
+            F.min("lng_min"), F.min("lat_min"), F.max("lng_max"), F.max("lat_max")
+        ).collect()[0]
+        if brow[0] is not None:
+            asm.bounds = [brow[0], brow[1], brow[2], brow[3]]
+        else:
+            asm.bounds = [-180.0, -85.0511287798066, 180.0, 85.0511287798066]
         t0 = time.perf_counter()
         n = 0
         for row in tiles.orderBy("tile_id").toLocalIterator(prefetchPartitions=True):

@@ -215,7 +215,13 @@ def _bulk_lines(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
     n = len(wkbs)
     is_ls = np.zeros(n, dtype=bool)
     cand = np.flatnonzero((lens >= 9 + 32) & ((lens - 9) % 16 == 0))
-    rows = [i for i in cand if bytes(wkbs[i][:5]) == _LS_HDR]
+    # header AND embedded u32 point count must match the length-derived
+    # count; a padded/count-mismatched WKB falls back to the exact parser
+    rows = [
+        i for i in cand
+        if bytes(wkbs[i][:5]) == _LS_HDR
+        and int.from_bytes(bytes(wkbs[i][5:9]), "little") == (lens[i] - 9) // 16
+    ]
     if not rows:
         return is_ls, None, None, None
     rows = np.array(rows, dtype=np.int64)
@@ -275,7 +281,12 @@ def _bulk_poly1(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
     n = len(wkbs)
     is_p1 = np.zeros(n, dtype=bool)
     cand = np.flatnonzero((lens >= 13 + 4 * 16) & ((lens - 13) % 16 == 0))
-    rows = [i for i in cand if bytes(wkbs[i][:9]) == _P1_HDR]
+    # verify embedded u32 ring point count against the length-derived count
+    rows = [
+        i for i in cand
+        if bytes(wkbs[i][:9]) == _P1_HDR
+        and int.from_bytes(bytes(wkbs[i][9:13]), "little") == (lens[i] - 13) // 16
+    ]
     if not rows:
         return is_p1, None, None, None
     rows = np.array(rows, dtype=np.int64)

@@ -310,16 +310,21 @@ class PMTilesAssembler:
             self.bounds[2] = max(self.bounds[2], tile_bounds[2])
             self.bounds[3] = max(self.bounds[3], tile_bounds[3])
         hit = self._by_hash.get(content_hash)
+        # raw-length comparison guards the 63-bit hash against silent
+        # collisions (cheap partial content check; same trust model as the
+        # reference's XXH3 dedup but with a second independent signal)
+        if hit is not None and hit[2] != len(raw_mvt):
+            hit = None
         if hit is None:
             blob = compress(raw_mvt, self.tile_compression)
             off = self._data_len
             self._tmp.write(blob)
             self._n_blobs += 1
             self._data_len += len(blob)
-            self._by_hash[content_hash] = (off, len(blob))
+            self._by_hash[content_hash] = (off, len(blob), len(raw_mvt))
             self.entries.append(DirEntry(tile_id, off, len(blob), 1))
         else:
-            off, ln = hit
+            off, ln, _ = hit
             self.entries.append(DirEntry(tile_id, off, ln, 1))
 
     def finalize(self, path: str) -> Header:

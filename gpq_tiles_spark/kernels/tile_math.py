@@ -96,12 +96,20 @@ def tile_ranges_for_bbox(
     n_max = np.int64((1 << zoom) - 1)
     zeros = np.zeros_like(lng_min)
 
-    y0, _ = None, None
     _, y_top = lng_lat_to_tile_xy(lng_min, np.asarray(lat_max, dtype=np.float64), zoom)
     _, y_bot = lng_lat_to_tile_xy(lng_min, np.asarray(lat_min, dtype=np.float64), zoom)
 
     x_w, _ = lng_lat_to_tile_xy(lng_min, zeros, zoom)
     x_e, _ = lng_lat_to_tile_xy(lng_max, zeros, zoom)
+
+    # Clamp to the valid tile grid [0, 2^z-1]: lng=180 would otherwise yield
+    # x=2^z, whose tile_id aliases x=0 (the tile_id Hilbert encode is modular
+    # in 2^z), corrupting a valid tile; lat beyond Web-Mercator range would
+    # saturate y toward 2^32-1 and fan out billions of rows per feature.
+    x_w = np.minimum(x_w, n_max)
+    x_e = np.minimum(x_e, n_max)
+    y_top = np.minimum(y_top, n_max)
+    y_bot = np.minimum(y_bot, n_max)
 
     crosses = lng_min > lng_max
     x0a = x_w

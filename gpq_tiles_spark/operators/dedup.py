@@ -47,31 +47,132 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
-def _shingle_hashes(texts: pd.Series, k: int = 5) -> list[np.ndarray]:
-    """Per doc: unique 64-bit hashes of k-word shingles (vectorized-ish:
-    one python loop per doc, numpy for the hash mixing)."""
-    from ..kernels.hashes import fmix64
-
-    out = []
-    for t in texts:
-        words = (t or "").split()
-        if len(words) < k:
-            shingles = [" ".join(words)] if words else [""]
-        else:
-            shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        # builtin hash() is salted per-process -> NOT stable; FNV-1a instead
-        hs = np.array([_stable_hash64(s) for s in shingles], dtype=np.uint64)
-        out.append(np.unique(fmix64(hs)))
-    return out
-
-
 def _stable_hash64(s: str) -> int:
-    """FNV-1a 64-bit — process-stable (unlike builtin hash)."""
+    """FNV-1a 64-bit — process-stable (unlike builtin hash). Kept for
+    API/back-compat and tiny inputs; the batch paths below never call it."""
     h = 0xCBF29CE484222325
     for b in s.encode("utf-8"):
         h ^= b
         h = (h * 0x100000001B3) & 0xFFFF_FFFF_FFFF_FFFF
     return h
+
+
+def _inv_u64(b: int) -> int:
+    """Multiplicative inverse of odd b mod 2^64 (Newton iteration)."""
+    x = b
+    for _ in range(6):
+        x = (x * (2 - b * x)) & 0xFFFF_FFFF_FFFF_FFFF
+    return x
+
+
+# byte-level / word-level polynomial hash bases (odd -> invertible mod 2^64)
+_B = 0x100000001B3          # byte base (FNV prime)
+_BINV = np.uint64(_inv_u64(_B))
+_C = 0x9E3779B97F4A7C15 | 1  # word base (golden-ratio odd constant)
+_CINV = np.uint64(_inv_u64(_C))
+
+
+def _batch_word_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """All word hashes of a batch in one numpy pass — zero per-byte Python.
+
+    Concatenates the batch's UTF-8 bytes (single-space separators keep words
+    from merging across docs), finds word boundaries with boolean masks, and
+    derives each word's polynomial hash h = sum_j byte[j] * B^(len-1-j)
+    (mod 2^64) from ONE global prefix array: h(s, e) = B^(e-1) * (P_e - P_s)
+    where P_k = sum_{j<k} byte[j] * B^-j — the same cumprod/cumsum derivation
+    as textops._roll_hashes (per the round-1 review, the pattern MinHash
+    should copy).
+
+    Returns (word_hashes uint64 in doc order, doc_off int64 len n_docs+1).
+    """
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    buf = b" ".join(bufs)
+    n_docs = len(texts)
+    n = len(buf)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    ws = (arr == 32) | ((arr >= 9) & (arr <= 13))  # str.split() whitespace
+    nonws = ~ws
+    prev_ws = np.empty(n, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    starts = np.flatnonzero(nonws & prev_ws)
+    next_ws = np.empty(n, dtype=bool)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    ends = np.flatnonzero(nonws & next_ws) + 1
+
+    # map each word to its doc via the doc start offsets in the joined buffer
+    doc_b = np.zeros(n_docs, dtype=np.int64)
+    doc_b[1:] = np.cumsum(lens + 1)[:-1]
+    wd = np.searchsorted(doc_b, starts, side="right") - 1
+
+    with np.errstate(over="ignore"):
+        a64 = arr.astype(np.uint64) | np.uint64(0x100)  # length-sensitive marker bit
+        binv_pow = np.full(n, _BINV, dtype=np.uint64)
+        binv_pow[0] = np.uint64(1)
+        binv_pow = np.cumprod(binv_pow)                 # B^-i, wrapping
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(a64 * binv_pow, out=prefix[1:])       # wrapping cumsum
+        b_pow = np.full(n, np.uint64(_B), dtype=np.uint64)
+        b_pow[0] = np.uint64(1)
+        b_pow = np.cumprod(b_pow)                       # B^i
+        word_h = (prefix[ends] - prefix[starts]) * b_pow[ends - 1]
+
+    counts = np.bincount(wd, minlength=n_docs)
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_off[1:])
+    return word_h, doc_off
+
+
+def _batch_shingle_hashes(word_h: np.ndarray, doc_off: np.ndarray,
+                          k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-word shingle hashes per doc, vectorized across the whole batch.
+
+    A shingle's hash is a polynomial combination (base C) of its k word
+    hashes, computed for every window position at once via the same global
+    prefix-array trick as _batch_word_hashes. Docs with 0 < n_words < k get
+    one whole-doc shingle (matching the join-all-words semantics); empty
+    docs get none. Returns (fmix64'd shingle hashes, out_off per doc)."""
+    from ..kernels.hashes import fmix64
+
+    m = len(word_h)
+    counts = doc_off[1:] - doc_off[:-1]
+    n_sh = np.where(counts >= k, counts - k + 1,
+                    np.where(counts > 0, 1, 0)).astype(np.int64)
+    out_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=out_off[1:])
+    total = int(out_off[-1])
+    out = np.zeros(total, dtype=np.uint64)
+    if m == 0 or total == 0:
+        return out, out_off
+    with np.errstate(over="ignore"):
+        cinv_pow = np.full(m, _CINV, dtype=np.uint64)
+        cinv_pow[0] = np.uint64(1)
+        cinv_pow = np.cumprod(cinv_pow)
+        q = np.zeros(m + 1, dtype=np.uint64)
+        np.cumsum(word_h * cinv_pow, out=q[1:])
+        c_pow = np.full(m, np.uint64(_C), dtype=np.uint64)
+        c_pow[0] = np.uint64(1)
+        c_pow = np.cumprod(c_pow)
+
+        full = counts >= k
+        if full.any():
+            nw = (counts - k + 1)[full]
+            grp_start = np.zeros(len(nw), dtype=np.int64)
+            grp_start[1:] = np.cumsum(nw)[:-1]
+            local = np.arange(int(nw.sum()), dtype=np.int64) - np.repeat(grp_start, nw)
+            wi = np.repeat(doc_off[:-1][full], nw) + local
+            pos = np.repeat(out_off[:-1][full], nw) + local
+            out[pos] = (q[wi + k] - q[wi]) * c_pow[wi + k - 1]
+        under = (counts > 0) & (counts < k)
+        if under.any():
+            s = doc_off[:-1][under]
+            e = doc_off[1:][under]
+            out[out_off[:-1][under]] = (q[e] - q[s]) * c_pow[e - 1]
+    return fmix64(out), out_off
 
 
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -96,17 +197,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            shingles = _shingle_hashes(pdf[text_col], shingle_k)
-            sigs = []
-            for hs in shingles:
-                if len(hs) == 0:
-                    sigs.append([0] * num_perm)
-                    continue
-                # (num_perm, n_shingles) universal hashing, min per row
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            word_h, doc_off = _batch_word_hashes(texts)
+            sh, out_off = _batch_shingle_hashes(word_h, doc_off, shingle_k)
+            n_docs = len(texts)
+            sig = np.zeros((n_docs, num_perm), dtype=np.int64)
+            nonempty = (out_off[1:] - out_off[:-1]) > 0
+            if nonempty.any():
+                red = out_off[:-1][nonempty]
+                # one vectorized pass per permutation; min over the multiset
+                # of shingle hashes == min over the unique set, so no dedup
+                # of shingles is needed before the reduction
                 with np.errstate(over="ignore"):
-                    vals = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf[id_col].astype(str), "sig": sigs})
+                    for p in range(num_perm):
+                        vals = (a[p] * sh + b[p]) % np.uint64(_MERSENNE)
+                        sig[nonempty, p] = np.minimum.reduceat(vals, red).astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype(str), "sig": [r.tolist() for r in sig]}
+            )
 
     return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
@@ -153,29 +261,41 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.hashes import fmix64
 
-        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = []
-            for t in pdf[text_col]:
-                words = (t or "").split()
-                if not words:
-                    out.append(0)
-                    continue
-                hs = fmix64(np.array([_stable_hash64(w) for w in words], dtype=np.uint64))
-                bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-                v = (2 * bits - 1).sum(axis=0)
-                sh = int(((v > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
-                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame({"doc_id": pdf[id_col].astype(str), "simhash": out})
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            word_h, doc_off = _batch_word_hashes(texts)
+            word_h = fmix64(word_h)
+            n_docs = len(texts)
+            counts = doc_off[1:] - doc_off[:-1]
+            acc = np.zeros(n_docs, dtype=np.uint64)
+            nonempty = counts > 0
+            if nonempty.any():
+                red = doc_off[:-1][nonempty]
+                # per-bit weighted sum per doc: sum(2*bit - 1) = 2*sum(bit) - n
+                for bit in range(64):
+                    bits = ((word_h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                    s = np.add.reduceat(bits, red)
+                    pos = (2 * s - counts[nonempty]) > 0
+                    acc[nonempty] |= pos.astype(np.uint64) << np.uint64(bit)
+            signed = acc.astype(np.int64)  # two's-complement view
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype(str), "simhash": signed})
 
     return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                            id_col: str = "doc_id", max_hamming: int = 3,
+                            max_bucket: int = 1000) -> DataFrame:
     """Near-dups by SimHash: band the 64 bits into 4 x 16-bit chunks (any
     identical chunk -> candidate, guaranteed to catch hamming <= 3), verify
     pairs by exact hamming distance. Self-join happens only on chunk buckets.
+
+    ``max_bucket`` caps candidate generation per chunk bucket: a bucket with
+    D docs yields D^2/2 pairs, so one hot 16-bit value (e.g. a boilerplate-
+    heavy corpus) would otherwise go quadratic at 10^9+ docs. Buckets above
+    the cap are dropped from THAT chunk only — near-identical docs still
+    collide on the other 3 chunks unless all four are equally hot (standard
+    LSH hot-bucket practice).
     """
     sigs = simhash_signatures(df, text_col, id_col).cache()
     chunks = sigs.select(
@@ -195,6 +315,16 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+
+    # hot-bucket cap: the HOT set is small by construction (at most
+    # 4*n_docs/max_bucket buckets), so it broadcasts; the count itself is a
+    # map-side-combinable agg over (chunk, val) pairs
+    hot = (
+        chunks.groupBy("chunk", "val").count()
+        .where(F.col("count") > max_bucket)
+        .select("chunk", "val")
+    )
+    chunks = chunks.join(F.broadcast(hot), ["chunk", "val"], "left_anti")
 
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -218,10 +348,21 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Character-n-gram Jaccard near-dup: inverted index on rare n-grams ->
-    candidate pairs -> exact Jaccard verify. DataFrame-algebra formulation
-    (explode + join + agg); exact verify via set sizes."""
+                        n: int = 3, threshold: float = 0.8,
+                        max_df: int = 1000) -> DataFrame:
+    """Character-n-gram Jaccard near-dup: inverted index on RARE n-grams ->
+    candidate pairs -> exact Jaccard verify over ALL grams of the candidate
+    pairs only. DataFrame-algebra formulation (explode + join + agg).
+
+    ``max_df`` is the document-frequency cap on the candidate-generation
+    index: grams appearing in more than max_df docs ("the", " an") never
+    become join keys, so a universal gram cannot produce an all-pairs
+    quadratic blowup. The verify stage recomputes the TRUE intersection
+    (all grams, rare and common) per candidate pair, so Jaccard values are
+    exact — dropping common grams only costs recall for pairs whose overlap
+    is exclusively ubiquitous grams, which a threshold >= 0.8 filter would
+    reject anyway.
+    """
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -234,11 +375,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         ).alias("gram"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+    # candidate generation on rare grams only (the hot set is small by
+    # construction -> broadcastable anti-join, same pattern as SimHash cap)
+    hot_grams = (
+        grams.groupBy("gram").count()
+        .where(F.col("count") > max_df)
+        .select("gram")
+    )
+    rare = grams.join(F.broadcast(hot_grams), "gram", "left_anti")
+    ra = rare.alias("ra")
+    rb = rare.alias("rb")
+    cand = (
+        ra.join(rb, (F.col("ra.gram") == F.col("rb.gram"))
+                & (F.col("ra.doc_id") < F.col("rb.doc_id")))
+        .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verify: full-gram intersection, computed only for candidates
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id"))
+              & (F.col("a.gram") == F.col("b.gram")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.alias("sa")

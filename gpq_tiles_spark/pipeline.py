@@ -704,7 +704,10 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         row = features.agg(
             F.min("lng_min"), F.min("lat_min"), F.max("lng_max"), F.max("lat_max")
         ).collect()[0]
-        bounds = (row[0], row[1], row[2], row[3])
+        if row[0] is None:  # empty input: valid world-bounds archive, no crash
+            bounds = (-180.0, -85.0511287798066, 180.0, 85.0511287798066)
+        else:
+            bounds = (row[0], row[1], row[2], row[3])
 
     records = fanout_records(features, config)
     if salted:

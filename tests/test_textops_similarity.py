@@ -157,3 +157,71 @@ def test_cosine_lsh_finds_near_duplicate(spark, vec_df):
     out = cosine_topk_lsh(df, probes, k=5, dim=16, n_planes=8, n_tables=12).collect()
     ranked = sorted((r.rnk, r.vec_id) for r in out)
     assert ranked and ranked[0][1] == 1  # the perturbed twin is found
+
+
+def test_minhash_signatures_vectorized_stable(spark, text_df):
+    """Exact dups get identical signatures; the batch-vectorized hash is
+    process-stable (two runs agree bit-for-bit)."""
+    from gpq_tiles_spark.operators.dedup import minhash_signatures
+
+    s1 = {r.doc_id: tuple(r.sig) for r in minhash_signatures(
+        text_df, num_perm=16, shingle_k=3).collect()}
+    s2 = {r.doc_id: tuple(r.sig) for r in minhash_signatures(
+        text_df, num_perm=16, shingle_k=3).collect()}
+    assert s1 == s2
+    assert s1["d0"] == s1["d1"]          # exact dup -> identical signature
+    assert s1["d0"] != s1["d4"]          # unrelated docs differ
+    agree = sum(a == b for a, b in zip(s1["d0"], s1["d2"]))
+    assert agree >= 4                     # near dup shares many minima
+
+
+def test_minhash_short_and_empty_docs(spark):
+    """Docs shorter than the shingle width hash as one whole-doc shingle;
+    empty docs get the zero signature (no crash, no NaN)."""
+    from gpq_tiles_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [("a", "one two"), ("b", "one two"), ("c", ""), ("d", None), ("e", "one three")],
+        schema="doc_id string, text string",
+    )
+    sigs = {r.doc_id: tuple(r.sig) for r in minhash_signatures(
+        df, num_perm=8, shingle_k=5).collect()}
+    assert sigs["a"] == sigs["b"]
+    assert sigs["a"] != sigs["e"]
+    assert sigs["c"] == tuple([0] * 8) and sigs["d"] == tuple([0] * 8)
+
+
+def test_ngram_universal_gram_bounded(spark):
+    """A gram present in EVERY doc must not become a join key when its
+    document frequency exceeds max_df: candidate count stays bounded and
+    true near-dups are still verified with exact (all-gram) Jaccard."""
+    rows = [(f"u{i}", f"zqx{i:04d}unique{i:04d}") for i in range(30)]
+    rows.append(("dupA", "zqxSHAREDSEGMENT0001"))
+    rows.append(("dupB", "zqxSHAREDSEGMENT0001"))
+    df = spark.createDataFrame(rows, schema="doc_id string, text string")
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.8, max_df=5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert got.get(("dupA", "dupB")) == 1.0   # exact Jaccard survives the prefilter
+    assert len(got) <= 3                       # no universal-gram quadratic
+
+
+def test_simhash_hot_bucket_cap_completes(spark):
+    """With a 1-doc bucket cap on a corpus of identical docs every chunk is
+    hot, so candidate generation is fully suppressed (bounded, no quadratic)
+    while the default cap still finds the pairs."""
+    rows = [(f"d{i}", "same boilerplate text repeated everywhere") for i in range(12)]
+    df = spark.createDataFrame(rows, schema="doc_id string, text string")
+    capped = simhash_near_duplicates(df, max_hamming=3, max_bucket=1).collect()
+    assert capped == []
+    uncapped = simhash_near_duplicates(df, max_hamming=3, max_bucket=1000).collect()
+    assert len(uncapped) == 12 * 11 // 2
+
+
+def test_lsh_hot_bucket_cap(spark, vec_df):
+    """cosine_topk_lsh with a tiny bucket cap still completes and returns a
+    bounded candidate set; with the default cap it finds the twin."""
+    df, _ = vec_df
+    probes = df.where(F.col("vec_id") == 0)
+    out = cosine_topk_lsh(df, probes, k=5, dim=16, n_planes=2, n_tables=4,
+                          max_bucket=3).collect()
+    assert len(out) <= 5 * 4  # bounded by k per probe regardless of hot buckets
