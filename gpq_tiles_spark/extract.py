@@ -51,8 +51,12 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _hash_feature_id(doc_id: str, offset: int) -> int:
+def _hash_feature_id(doc_id: str, offset: int, part: int = 0) -> int:
+    """part > 0 distinguishes the flattened parts of a GeometryCollection
+    span; part=0 keeps pre-collection hash values byte-stable."""
     h = xxh64(doc_id.encode("utf-8")) ^ (offset & 0xFFFF_FFFF_FFFF_FFFF)
+    if part:
+        h ^= (part * 0x9E3779B97F4A7C15) & 0xFFFF_FFFF_FFFF_FFFF
     v = int(fmix64(np.uint64(h))[()])
     return v & 0x7FFF_FFFF_FFFF_FFFF  # keep in Spark LongType range
 
@@ -81,16 +85,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     g = G.from_wkt(_span_field(span, "text"))
                 except (ValueError, IndexError):
                     continue  # malformed geometry span -> skipped, not fatal
-                x0, y0, x1, y1 = G.bbox(g)
-                out["feature_id"].append(_hash_feature_id(doc_id, off))
-                out["doc_id"].append(doc_id)
-                out["span_offset"].append(off)
-                out["wkb"].append(G.to_wkb(g))
-                out["geom_type"].append(g[0])
-                out["lng_min"].append(x0)
-                out["lat_min"].append(y0)
-                out["lng_max"].append(x1)
-                out["lat_max"].append(y1)
+                # GeometryCollection spans flatten to one feature per part
+                # (MVT features are single-typed); others pass through as-is
+                for part, pg in enumerate(G.flatten(g)):
+                    x0, y0, x1, y1 = G.bbox(pg)
+                    out["feature_id"].append(_hash_feature_id(doc_id, off, part))
+                    out["doc_id"].append(doc_id)
+                    out["span_offset"].append(off)
+                    out["wkb"].append(G.to_wkb(pg))
+                    out["geom_type"].append(pg[0])
+                    out["lng_min"].append(x0)
+                    out["lat_min"].append(y0)
+                    out["lng_max"].append(x1)
+                    out["lat_max"].append(y1)
         yield pd.DataFrame(out)
 
 

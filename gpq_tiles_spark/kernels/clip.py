@@ -216,6 +216,18 @@ def clip_geometry(g: Geom, lng_min: float, lat_min: float, lng_max: float,
             return None
         return (MULTIPOLYGON, parts)
 
+    if t == 7:  # GEOMETRYCOLLECTION (geom.GEOMETRYCOLLECTION)
+        survivors = []
+        for part in d:
+            sub = clip_geometry(part, lng_min, lat_min, lng_max, lat_max, buffer_deg)
+            if sub is not None:
+                survivors.append(sub)
+        if not survivors:
+            return None
+        if len(survivors) == 1:
+            return survivors[0]
+        return (7, survivors)
+
     return None
 
 

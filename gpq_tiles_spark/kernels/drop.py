@@ -118,4 +118,10 @@ def should_drop_geometry(g: Geom, zoom: int, base_zoom: int, extent: int,
             should_drop_tiny_polygon(rings, lng_min, lat_min, lng_max, lat_max, extent)
             for rings in d
         )
+    if t == 7:  # GEOMETRYCOLLECTION: drop only when every part drops
+        return all(
+            should_drop_geometry(p, zoom, base_zoom, extent,
+                                 lng_min, lat_min, lng_max, lat_max, feature_index)
+            for p in d
+        )
     return False

@@ -26,6 +26,7 @@ import struct
 import numpy as np
 
 POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 1, 2, 3, 4, 5, 6
+GEOMETRYCOLLECTION = 7  # data: list[Geom] (batch_processor.rs:122-125 analog)
 
 Geom = tuple  # (gtype: int, data)
 
@@ -68,6 +69,10 @@ def to_wkb(g: Geom) -> bytes:
             out.append(_HDR.pack(1, POLYGON) + _U32.pack(len(rings)))
             for ring in rings:
                 out.append(_coords_to_wkb(ring))
+    elif t == GEOMETRYCOLLECTION:
+        out.append(_U32.pack(len(d)))
+        for part in d:
+            out.append(to_wkb(part))
     else:
         raise ValueError(f"unsupported geometry type {t}")
     return b"".join(out)
@@ -80,19 +85,20 @@ def _read_coords(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
     return arr.astype(np.float64), off + 16 * n
 
 
-def from_wkb(wkb: bytes) -> Geom:
-    buf = memoryview(wkb)
-    bo, t = _HDR.unpack_from(buf, 0)
+def _from_wkb_at(buf: memoryview, off: int) -> tuple[Geom, int]:
+    """Parse one geometry starting at `off`; returns (geom, next offset) so
+    GeometryCollection can recurse over its parts."""
+    bo, t = _HDR.unpack_from(buf, off)
     if bo != 1:
         raise ValueError("big-endian WKB unsupported")
     t &= 0xFF  # strip any 2.5D/SRID flag bits (none expected)
-    off = 5
+    off += 5
     if t == POINT:
         x, y = _PT.unpack_from(buf, off)
-        return (POINT, np.array([x, y]))
+        return (POINT, np.array([x, y])), off + 16
     if t == LINESTRING:
-        arr, _ = _read_coords(buf, off)
-        return (LINESTRING, arr)
+        arr, off = _read_coords(buf, off)
+        return (LINESTRING, arr), off
     if t == POLYGON:
         (nr,) = _U32.unpack_from(buf, off)
         off += 4
@@ -100,7 +106,7 @@ def from_wkb(wkb: bytes) -> Geom:
         for _ in range(nr):
             r, off = _read_coords(buf, off)
             rings.append(r)
-        return (POLYGON, rings)
+        return (POLYGON, rings), off
     if t == MULTIPOINT:
         (np_,) = _U32.unpack_from(buf, off)
         off += 4
@@ -109,7 +115,7 @@ def from_wkb(wkb: bytes) -> Geom:
             off += 5
             pts[i] = _PT.unpack_from(buf, off)
             off += 16
-        return (MULTIPOINT, pts)
+        return (MULTIPOINT, pts), off
     if t == MULTILINESTRING:
         (nl,) = _U32.unpack_from(buf, off)
         off += 4
@@ -118,7 +124,7 @@ def from_wkb(wkb: bytes) -> Geom:
             off += 5
             arr, off = _read_coords(buf, off)
             lines.append(arr)
-        return (MULTILINESTRING, lines)
+        return (MULTILINESTRING, lines), off
     if t == MULTIPOLYGON:
         (npoly,) = _U32.unpack_from(buf, off)
         off += 4
@@ -132,8 +138,36 @@ def from_wkb(wkb: bytes) -> Geom:
                 r, off = _read_coords(buf, off)
                 rings.append(r)
             polys.append(rings)
-        return (MULTIPOLYGON, polys)
+        return (MULTIPOLYGON, polys), off
+    if t == GEOMETRYCOLLECTION:
+        (ng,) = _U32.unpack_from(buf, off)
+        off += 4
+        parts = []
+        for _ in range(ng):
+            part, off = _from_wkb_at(buf, off)
+            parts.append(part)
+        return (GEOMETRYCOLLECTION, parts), off
     raise ValueError(f"unsupported WKB type {t}")
+
+
+def from_wkb(wkb: bytes) -> Geom:
+    g, _ = _from_wkb_at(memoryview(wkb), 0)
+    return g
+
+
+def flatten(g: Geom) -> list[Geom]:
+    """GeometryCollection -> homogeneous parts (recursively); any other
+    geometry passes through as [g]. Ingestion flattens collections into one
+    feature per part — MVT features are single-typed, so a collection can
+    never encode as one feature anyway (the reference normalizes collections
+    the same way at its GeoArrow boundary, batch_processor.rs:122-125)."""
+    t, d = g
+    if t != GEOMETRYCOLLECTION:
+        return [g]
+    out: list[Geom] = []
+    for part in d:
+        out.extend(flatten(part))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +225,19 @@ def from_wkt(wkt: str) -> Geom:
                 if depth == 0:
                     polys.append([_parse_coord_seq(r) for r in _split_rings(body[start:i])])
         return (MULTIPOLYGON, polys)
+    if head == "GEOMETRYCOLLECTION":
+        # split at depth-0 commas; each piece is a complete WKT geometry
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(body[start:i])
+                start = i + 1
+        parts.append(body[start:])
+        return (GEOMETRYCOLLECTION, [from_wkt(p.strip()) for p in parts if p.strip()])
     raise ValueError(f"unsupported WKT: {head}")
 
 
@@ -216,6 +263,8 @@ def to_wkt(g: Geom) -> str:
             + ", ".join("(" + ", ".join(f"({seq(r)})" for r in p) + ")" for p in d)
             + ")"
         )
+    if t == GEOMETRYCOLLECTION:
+        return "GEOMETRYCOLLECTION(" + ", ".join(to_wkt(p) for p in d) + ")"
     raise ValueError(f"unsupported geometry type {t}")
 
 
@@ -234,6 +283,9 @@ def _all_coords(g: Geom):
     elif t == MULTIPOLYGON:
         for rings in d:
             yield from rings
+    elif t == GEOMETRYCOLLECTION:
+        for part in d:
+            yield from _all_coords(part)
     else:
         raise ValueError(f"unsupported geometry type {t}")
 
@@ -304,6 +356,11 @@ def centroid(g: Geom) -> tuple[float, float] | None:
             x0, y0, x1, y1 = bbox(g)
             return (x0 + x1) / 2.0, (y0 + y1) / 2.0
         return float(wsum[0] / total), float(wsum[1] / total)
+    if t == GEOMETRYCOLLECTION:
+        x0, y0, x1, y1 = bbox(g)
+        if not np.isfinite(x0):
+            return None
+        return (x0 + x1) / 2.0, (y0 + y1) / 2.0
     if t in (POLYGON, MULTIPOLYGON):
         polys = [d] if t == POLYGON else d
         wsum = np.zeros(2)

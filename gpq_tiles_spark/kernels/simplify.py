@@ -102,6 +102,8 @@ def simplify_for_zoom(g: Geom, zoom: int, extent: int,
         return (POLYGON, [fn(r) for r in d])
     if t == MULTIPOLYGON:
         return (MULTIPOLYGON, [[fn(r) for r in rings] for rings in d])
+    if t == 7:  # GEOMETRYCOLLECTION: simplify each part at the same zoom
+        return (7, [simplify_for_zoom(p, zoom, extent, algorithm) for p in d])
     return g
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .geom import (
+    GEOMETRYCOLLECTION,
     LINESTRING,
     MULTILINESTRING,
     MULTIPOINT,
@@ -60,4 +61,12 @@ def filter_valid_geometry(g: Geom) -> Geom | None:
         if len(valid) == 1:
             return (POLYGON, valid[0])
         return (MULTIPOLYGON, valid)
+    if t == GEOMETRYCOLLECTION:
+        # per-part filter with the same downgrade-when-single rule
+        valid = [v for v in (filter_valid_geometry(p) for p in d) if v is not None]
+        if not valid:
+            return None
+        if len(valid) == 1:
+            return valid[0]
+        return (GEOMETRYCOLLECTION, valid)
     return g

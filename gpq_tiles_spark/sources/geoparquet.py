@@ -16,6 +16,7 @@ Mirrors the reference's scan operators (SURVEY.md §2.1):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from struct import error as struct_error
 from typing import Iterator
 
 import numpy as np
@@ -40,18 +41,49 @@ def discover_geometry_column(columns: list[str]) -> str | None:
     return None
 
 
+@dataclass
+class ScanMetrics:
+    """Accumulator-backed scan counters (no silent skips): filled by the
+    executors during the scan job, readable on the driver after an action."""
+    n_skipped: object = None      # undecodable WKB rows
+    n_nulls: object = None        # NULL geometry rows
+    n_collections: object = None  # GeometryCollections flattened
+
+    @classmethod
+    def create(cls, spark: SparkSession) -> "ScanMetrics":
+        sc = spark.sparkContext
+        return cls(sc.accumulator(0), sc.accumulator(0), sc.accumulator(0))
+
+    def as_dict(self) -> dict[str, int]:
+        return {
+            "n_skipped": int(self.n_skipped.value),
+            "n_nulls": int(self.n_nulls.value),
+            "n_collections": int(self.n_collections.value),
+        }
+
+
 def read_geoparquet(spark: SparkSession, path: str,
                     geometry_col: str | None = None,
-                    id_col: str | None = None) -> DataFrame:
+                    id_col: str | None = None,
+                    metrics: ScanMetrics | None = None) -> DataFrame:
     """GeoParquet (WKB geometry column) -> features DataFrame
     (FEATURES_SCHEMA). Column pruning reaches the scan: only the geometry
-    and id columns are read."""
+    and id columns are read.
+
+    All 7 WKB variants decode (Point..MultiPolygon + GeometryCollection,
+    batch_processor.rs:94-143); collections flatten to one feature per part
+    (MVT features are single-typed). Undecodable rows are SKIPPED BUT
+    COUNTED when a ``metrics`` (ScanMetrics.create(spark)) is passed —
+    never silently lost."""
     raw = spark.read.parquet(path)
     gcol = geometry_col or discover_geometry_column(raw.columns)
     if gcol is None:
         raise ValueError(f"no geometry column found in {raw.columns}")
     cols = [gcol] + ([id_col] if id_col else [])
     raw = raw.select(*cols)
+    acc_skip = metrics.n_skipped if metrics else None
+    acc_null = metrics.n_nulls if metrics else None
+    acc_coll = metrics.n_collections if metrics else None
 
     def to_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.hashes import fmix64, xxh64
@@ -62,28 +94,37 @@ def read_geoparquet(spark: SparkSession, path: str,
                 "lng_min", "lat_min", "lng_max", "lat_max")}
             for i, wkb in enumerate(pdf[gcol]):
                 if wkb is None:
+                    if acc_null is not None:
+                        acc_null.add(1)
                     continue
                 wkb = bytes(wkb)
                 try:
                     g = G.from_wkb(wkb)
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, struct_error):
+                    if acc_skip is not None:
+                        acc_skip.add(1)
                     continue
-                x0, y0, x1, y1 = G.bbox(g)
-                if id_col:
-                    fid = int(pdf[id_col].iloc[i])
-                    did = str(fid)
-                else:
-                    fid = int(fmix64(np.uint64(xxh64(wkb)))[()] & 0x7FFF_FFFF_FFFF_FFFF)
-                    did = ""
-                out["feature_id"].append(fid)
-                out["doc_id"].append(did)
-                out["span_offset"].append(0)
-                out["wkb"].append(wkb)
-                out["geom_type"].append(g[0])
-                out["lng_min"].append(x0)
-                out["lat_min"].append(y0)
-                out["lng_max"].append(x1)
-                out["lat_max"].append(y1)
+                parts = G.flatten(g)
+                if g[0] == G.GEOMETRYCOLLECTION and acc_coll is not None:
+                    acc_coll.add(1)
+                for part_idx, pg in enumerate(parts):
+                    x0, y0, x1, y1 = G.bbox(pg)
+                    pwkb = wkb if len(parts) == 1 else G.to_wkb(pg)
+                    if id_col:
+                        fid = int(pdf[id_col].iloc[i])
+                        did = str(fid)
+                    else:
+                        fid = int(fmix64(np.uint64(xxh64(pwkb)))[()]) & 0x7FFF_FFFF_FFFF_FFFF
+                        did = ""
+                    out["feature_id"].append(fid)
+                    out["doc_id"].append(did)
+                    out["span_offset"].append(part_idx)
+                    out["wkb"].append(pwkb)
+                    out["geom_type"].append(pg[0])
+                    out["lng_min"].append(x0)
+                    out["lat_min"].append(y0)
+                    out["lng_max"].append(x1)
+                    out["lat_max"].append(y1)
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(to_features, schema=FEATURES_SCHEMA)
