@@ -131,21 +131,26 @@ def convert_with_checkpoints(spark: SparkSession, docs_path: str, output_path: s
     from .extract import extract_features
     from .pipeline import encode_tiles, fanout_records
 
+    from .pipeline import PipelineMetrics
+
     config = config or TilerConfig()
     run = CheckpointedRun(spark, work_dir, snapshot_fingerprint(spark, docs_path))
+    metrics = PipelineMetrics.create(spark)
 
     feats = run.run_stage(
         "extract", lambda: extract_features(spark.read.parquet(docs_path))
     )
-    records = run.run_stage("records", lambda: fanout_records(feats, config))
-    tiles = run.run_stage("tiles", lambda: encode_tiles(records, config))
+    records = run.run_stage("records", lambda: fanout_records(feats, config, metrics))
+    tiles = run.run_stage("tiles", lambda: encode_tiles(records, config, metrics=metrics))
+    acc = metrics.as_dict()
+    if any(acc.values()):  # only meaningful when the stages actually ran
+        run.manifest["metrics"]["accumulators"] = acc
+        run._save()
 
     if not run.stage_done("archive"):
         from .kernels import pmtiles as P
 
-        codec = (
-            P.COMPRESSION_GZIP if config.tile_compression == "gzip" else P.COMPRESSION_NONE
-        )
+        codec = P.CODEC_BY_NAME[config.tile_compression]
         asm = P.PMTilesAssembler(
             tile_compression=codec, layer_name=config.layer_name,
             min_zoom=config.min_zoom, max_zoom=config.max_zoom,

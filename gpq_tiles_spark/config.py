@@ -18,7 +18,9 @@ class TilerConfig:
     enable_density_drop: bool = False
     density_cell_size: int = 16
     density_max_per_cell: int = 1
-    tile_compression: str = "gzip"  # gzip | none (zstd/brotli unavailable here)
+    tile_compression: str = "gzip"  # gzip | none | zstd | brotli (zstd/brotli
+    # import-gated: active when the lib is installed; ref default is zstd,
+    # cli/main.rs:69 — gzip here because the container lacks the libs)
     simplification: str = "dp"  # dp (reference parity) | visvalingam (T18)
     include_properties: list[str] | None = None
     exclude_properties: list[str] | None = None
@@ -33,7 +35,7 @@ class TilerConfig:
             raise ValueError(f"invalid zoom range {self.min_zoom}..{self.max_zoom}")
         if self.extent <= 0:
             raise ValueError("extent must be positive")
-        if self.tile_compression not in ("gzip", "none"):
+        if self.tile_compression not in ("gzip", "none", "zstd", "brotli"):
             raise ValueError(f"unsupported compression {self.tile_compression!r}")
         if self.simplification not in ("dp", "visvalingam"):
             raise ValueError(f"unsupported simplification {self.simplification!r}")

@@ -37,6 +37,27 @@ COMPRESSION_ZSTD = 4
 
 TILETYPE_MVT = 1
 
+CODEC_BY_NAME = {
+    "none": COMPRESSION_NONE,
+    "gzip": COMPRESSION_GZIP,
+    "brotli": COMPRESSION_BROTLI,
+    "zstd": COMPRESSION_ZSTD,
+}
+
+
+# zstd/brotli are import-gated: the reference CLI defaults to zstd
+# (cli/main.rs:69, compression.rs:72-119) but neither lib ships in this
+# container — installing `zstandard` / `brotli` activates the codec with no
+# code change; an absent lib raises a clear error instead of a bad archive.
+try:  # pragma: no cover - not installed in this container
+    import zstandard as _zstd
+except ImportError:
+    _zstd = None
+try:  # pragma: no cover - not installed in this container
+    import brotli as _brotli
+except ImportError:
+    _brotli = None
+
 
 def compress(data: bytes, codec: int) -> bytes:
     if codec == COMPRESSION_NONE:
@@ -44,9 +65,20 @@ def compress(data: bytes, codec: int) -> bytes:
     if codec == COMPRESSION_GZIP:
         # flate2 default level is 6; mtime pinned to 0 for determinism
         return gzip.compress(data, compresslevel=6, mtime=0)
-    raise NotImplementedError(
-        f"compression codec {codec} not available in this environment (gzip only)"
-    )
+    if codec == COMPRESSION_ZSTD:
+        if _zstd is None:
+            raise NotImplementedError(
+                "zstd requested but the 'zstandard' package is not installed"
+            )
+        # level 3 matches the reference default (compression.rs:87)
+        return _zstd.ZstdCompressor(level=3).compress(data)
+    if codec == COMPRESSION_BROTLI:
+        if _brotli is None:
+            raise NotImplementedError(
+                "brotli requested but the 'brotli' package is not installed"
+            )
+        return _brotli.compress(data)
+    raise NotImplementedError(f"compression codec {codec} not supported")
 
 
 def decompress(data: bytes, codec: int) -> bytes:
@@ -54,6 +86,18 @@ def decompress(data: bytes, codec: int) -> bytes:
         return data
     if codec == COMPRESSION_GZIP:
         return gzip.decompress(data)
+    if codec == COMPRESSION_ZSTD:
+        if _zstd is None:
+            raise NotImplementedError(
+                "zstd archive but the 'zstandard' package is not installed"
+            )
+        return _zstd.ZstdDecompressor().decompress(data)
+    if codec == COMPRESSION_BROTLI:
+        if _brotli is None:
+            raise NotImplementedError(
+                "brotli archive but the 'brotli' package is not installed"
+            )
+        return _brotli.decompress(data)
     raise NotImplementedError(f"compression codec {codec}")
 
 

@@ -205,3 +205,123 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
         if done or r >= max_radius:
             return topk
         r *= 2
+
+
+def knn_join_distributed(points: DataFrame, probes: DataFrame, k: int,
+                         point_id: str = "point_id", probe_id: str = "probe_id",
+                         zoom: int = 7,
+                         radii: tuple[int, ...] = (1, 4, 16, 64)) -> DataFrame:
+    """Distributed kNN: probes stay a DataFrame end-to-end (no driver
+    materialization — the scale path for millions of probes, vs ``knn_join``
+    whose driver loop is right for a handful).
+
+    Fixed round schedule ``radii``: each round explodes the still-unresolved
+    probes' grid disks in an Arrow batch UDF (the per-probe ring bound is
+    computed there too — min cell extent over the disk rows, which for
+    Web-Mercator is at the disk row nearest a pole), equi-joins on the int64
+    cell key (shuffle hash join — the point table partitions by cell, probes
+    by their disk cells; nothing broadcasts, nothing collects), window
+    top-k's per probe, and splits resolved/unresolved with pure column
+    algebra. The final radius resolves unconditionally (max-radius cap, same
+    semantics as ``knn_join``). Per-round flow control reads ONE boolean
+    (isEmpty) — O(1) driver traffic per round, bounded rounds.
+    """
+    pts = C.with_cell_column(
+        points.select(F.col(point_id).alias("point_id"), "lng", "lat"),
+        "lng", "lat", zoom,
+    ).cache()
+
+    disk_schema = StructType([
+        StructField("probe_id", LongType()),
+        StructField("probe_lng", DoubleType()),
+        StructField("probe_lat", DoubleType()),
+        StructField("cell", LongType()),
+        StructField("bound", DoubleType()),
+    ])
+
+    def make_disk_explode(r: int):
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..kernels import tile_math as T
+
+            cell_w = 360.0 / (1 << zoom)
+            n_max = (1 << zoom) - 1
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["probe_id"].to_numpy(dtype=np.int64)
+                lngs = pdf["probe_lng"].to_numpy(dtype=np.float64)
+                lats = pdf["probe_lat"].to_numpy(dtype=np.float64)
+                cell = C.latlng_to_cell(lngs, lats, zoom)
+                idx, cells = C.grid_disk(cell, r, zoom)
+                # pole clamping / antimeridian wrap can alias disk cells:
+                # dedupe (probe, cell) pairs or the join would duplicate points
+                order = np.lexsort((cells, idx))
+                idx, cells = idx[order], cells[order]
+                keep = np.empty(len(idx), dtype=bool)
+                keep[0] = True
+                keep[1:] = (idx[1:] != idx[:-1]) | (cells[1:] != cells[:-1])
+                idx, cells = idx[keep], cells[keep]
+                # per-probe ring bound: ((r-1) * min cell extent in disk)^2;
+                # cell heights shrink poleward, so the min is at an extreme row
+                _, cy = C.unpack_cell(cell)
+                y_lo = np.clip(cy - r, 0, n_max).astype(np.float64)
+                y_hi = np.clip(cy + r, 0, n_max).astype(np.float64)
+                zeros = np.zeros_like(y_lo)
+                _, lo_min, _, lo_max = T.tile_bounds(zeros, y_lo, zoom)
+                _, hi_min, _, hi_max = T.tile_bounds(zeros, y_hi, zoom)
+                min_h = np.minimum(np.abs(lo_max - lo_min), np.abs(hi_max - hi_min))
+                min_ext = np.minimum(min_h, cell_w)
+                bound = (np.maximum(r - 1, 0) * min_ext) ** 2
+                yield pd.DataFrame({
+                    "probe_id": ids[idx],
+                    "probe_lng": lngs[idx],
+                    "probe_lat": lats[idx],
+                    "cell": cells,
+                    "bound": bound[idx],
+                })
+
+        return gen
+
+    remaining = probes.select(
+        F.col(probe_id).cast("long").alias("probe_id"),
+        F.col("lng").alias("probe_lng"),
+        F.col("lat").alias("probe_lat"),
+    ).cache()
+    dist = (
+        (F.col("lng") - F.col("probe_lng")) * (F.col("lng") - F.col("probe_lng"))
+        + (F.col("lat") - F.col("probe_lat")) * (F.col("lat") - F.col("probe_lat"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("point_id"))
+    rounds: list[DataFrame] = []
+    for i, r in enumerate(radii):
+        last = i == len(radii) - 1
+        cand = remaining.mapInPandas(make_disk_explode(r), schema=disk_schema)
+        topk = (
+            cand.join(pts, "cell")
+            .withColumn("d", dist)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("probe_id", "rnk", "point_id", F.col("d").alias("dist"),
+                    "bound")
+        )
+        if last:
+            rounds.append(topk.drop("bound"))
+            break
+        stats = (
+            topk.groupBy("probe_id")
+            .agg(F.count("*").alias("cnt"), F.max("dist").alias("kth"),
+                 F.first("bound").alias("bound"))
+        )
+        resolved = stats.where(
+            (F.col("cnt") >= k) & (F.col("kth") <= F.col("bound"))
+        ).select("probe_id").cache()
+        rounds.append(
+            topk.drop("bound").join(resolved, "probe_id", "left_semi")
+        )
+        remaining = remaining.join(resolved, "probe_id", "left_anti").cache()
+        if remaining.isEmpty():
+            break
+    out = rounds[0]
+    for extra in rounds[1:]:
+        out = out.unionAll(extra)
+    return out

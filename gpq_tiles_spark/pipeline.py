@@ -48,6 +48,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from dataclasses import dataclass, field as dc_field
+from typing import Callable
+
 from .config import TilerConfig
 from .kernels import clip as CK
 from .kernels import drop as DK
@@ -83,6 +86,42 @@ TILES_SCHEMA = StructType(
         StructField("content_hash", LongType(), False),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Progress events + accumulator metrics (pipeline.rs:41-77 analog)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ProgressEvent:
+    """Phase lifecycle event delivered to the ``convert(progress=...)``
+    callback: kind is 'start' | 'progress' | 'complete'."""
+    phase: str
+    kind: str
+    info: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class PipelineMetrics:
+    """Accumulator-backed per-stage row counters, filled by the executors
+    while the job runs (A6; the reference's MemoryTracker/progress analog,
+    memory.rs:78-195). Read on the driver any time — including DURING the
+    tile stream — for live rows-in/out."""
+    features_in: object = None
+    records_out: object = None
+    tiles_out: object = None
+
+    @classmethod
+    def create(cls, spark) -> "PipelineMetrics":
+        sc = spark.sparkContext
+        return cls(sc.accumulator(0), sc.accumulator(0), sc.accumulator(0))
+
+    def as_dict(self) -> dict[str, int]:
+        return {
+            "features_in": int(self.features_in.value),
+            "records_out": int(self.records_out.value),
+            "tiles_out": int(self.tiles_out.value),
+        }
 
 
 # ---------------------------------------------------------------------------
@@ -154,7 +193,7 @@ def _clip_pair(cache: dict, z: int, max_zoom: int, extent: int,
     return _finish_clip(clipped, z, max_zoom, extent, lng0, lat0, lng1, lat1, fid)
 
 
-def make_fanout(config: TilerConfig):
+def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
     """Build the mapInPandas fan-out function (closure over config).
 
     Three per-(feature, zoom) regimes:
@@ -171,12 +210,16 @@ def make_fanout(config: TilerConfig):
     min_zoom, max_zoom = config.min_zoom, config.max_zoom
     extent, buffer_px = config.extent, config.buffer_pixels
     simplification = config.simplification
+    acc_in = metrics.features_in if metrics else None
+    acc_out = metrics.records_out if metrics else None
 
     def fanout(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
+            if acc_in is not None:
+                acc_in.add(n)
             fid = pdf["feature_id"].to_numpy(dtype=np.int64)
             gx0 = pdf["lng_min"].to_numpy(dtype=np.float64)
             gy0 = pdf["lat_min"].to_numpy(dtype=np.float64)
@@ -380,9 +423,12 @@ def make_fanout(config: TilerConfig):
 
             if not out_tid:
                 continue
+            tid_all = np.concatenate(out_tid)
+            if acc_out is not None:
+                acc_out.add(len(tid_all))
             yield pd.DataFrame(
                 {
-                    "tile_id": np.concatenate(out_tid),
+                    "tile_id": tid_all,
                     "feature_id": np.concatenate(out_fid),
                     "wkb": [w for chunk in out_wkb for w in chunk],
                 }
@@ -436,7 +482,7 @@ def _drop_fully_inside(c: dict, z: int, base_zoom: int, extent: int,
 # Phase 2+3: shuffle + encode
 # ---------------------------------------------------------------------------
 
-def make_encoder(config: TilerConfig):
+def make_encoder(config: TilerConfig, metrics: PipelineMetrics | None = None):
     """Encode consecutive (tile_id-sorted) runs into MVT bytes.
 
     Input batches are sorted by (tile_id, feature_id) within the partition and
@@ -447,6 +493,7 @@ def make_encoder(config: TilerConfig):
     """
     layer_name, extent = config.layer_name, config.extent
     buffer_px = config.buffer_pixels
+    acc_tiles = metrics.tiles_out if metrics else None
 
     def encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         # production path writes empty properties into every tile
@@ -459,6 +506,8 @@ def make_encoder(config: TilerConfig):
             extent,
             buffer_px,
         )
+        if acc_tiles is not None:
+            acc_tiles.add(len(cols["tile_id"]))
         return pd.DataFrame(cols)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -669,14 +718,18 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
     return merged_in.mapInPandas(make_merge_encoder(config), schema=TILES_SCHEMA)
 
 
-def fanout_records(features: DataFrame, config: TilerConfig) -> DataFrame:
+def fanout_records(features: DataFrame, config: TilerConfig,
+                   metrics: PipelineMetrics | None = None) -> DataFrame:
     """features -> (tile_id, z, x, y, feature_id, wkb) records."""
     cols = ["feature_id", "wkb", "geom_type", "lng_min", "lat_min", "lng_max", "lat_max"]
-    return features.select(*cols).mapInPandas(make_fanout(config), schema=RECORDS_SCHEMA)
+    return features.select(*cols).mapInPandas(
+        make_fanout(config, metrics), schema=RECORDS_SCHEMA
+    )
 
 
 def encode_tiles(records: DataFrame, config: TilerConfig,
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 metrics: PipelineMetrics | None = None) -> DataFrame:
     """records -> per-tile MVT rows, via ONE range shuffle + in-partition sort."""
     parts = num_partitions or config.shuffle_partitions
     shuffled = (
@@ -685,21 +738,32 @@ def encode_tiles(records: DataFrame, config: TilerConfig,
         else records.repartitionByRange("tile_id")
     )
     sorted_recs = shuffled.sortWithinPartitions("tile_id", "feature_id")
-    return sorted_recs.mapInPandas(make_encoder(config), schema=TILES_SCHEMA)
+    return sorted_recs.mapInPandas(make_encoder(config, metrics), schema=TILES_SCHEMA)
 
 
 def convert(features: DataFrame, output_path: str, config: TilerConfig | None = None,
              bounds: tuple[float, float, float, float] | None = None,
-             salted: bool = False) -> dict:
+             salted: bool = False,
+             progress: Callable[[ProgressEvent], None] | None = None) -> dict:
     """End-to-end: features DataFrame -> single .pmtiles at output_path.
 
-    Returns summary stats. Tiles stream to the driver in tile_id order via
-    toLocalIterator (O(1) driver memory, like the reference's temp-file
-    writer, pmtiles_writer.rs:1000-1019).
+    Returns summary stats (incl. accumulator-backed per-stage row counts).
+    Tiles stream to the driver in tile_id order via toLocalIterator (O(1)
+    driver memory, like the reference's temp-file writer,
+    pmtiles_writer.rs:1000-1019). ``progress`` receives ordered
+    ProgressEvents (phase start/progress/complete, pipeline.rs:41-77 analog)
+    — tile-stream progress fires every 8192 tiles with live accumulator
+    row counts.
     """
     from .kernels import pmtiles as P
 
+    def emit(phase: str, kind: str, **info) -> None:
+        if progress is not None:
+            progress(ProgressEvent(phase, kind, info))
+
     config = (config or TilerConfig()).validate()
+    metrics = PipelineMetrics.create(features.sparkSession)
+    emit("bounds", "start")
     if bounds is None:
         row = features.agg(
             F.min("lng_min"), F.min("lat_min"), F.max("lng_max"), F.max("lat_max")
@@ -708,27 +772,46 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
             bounds = (-180.0, -85.0511287798066, 180.0, 85.0511287798066)
         else:
             bounds = (row[0], row[1], row[2], row[3])
+    emit("bounds", "complete", bounds=bounds)
 
-    records = fanout_records(features, config)
+    from pyspark import StorageLevel
+
+    # Persist the fan-out output: repartitionByRange launches a SAMPLING job
+    # to pick range boundaries, which would otherwise re-execute the entire
+    # (expensive) fan-out a second time. Persisting makes the sampling pass
+    # the one that materializes — the shuffle then reads the cache. This is
+    # the Spark analog of the reference writing phase-1 runs to disk before
+    # its phase-2 external sort (external_sort.rs:99-189).
+    records = fanout_records(features, config, metrics).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if salted:
         hot = detect_hot_tiles(features, config)
         tiles = encode_tiles_salted(records, config, hot_tile_ids=hot)
     else:
-        tiles = encode_tiles(records, config)
+        tiles = encode_tiles(records, config, metrics=metrics)
 
-    codec = P.COMPRESSION_GZIP if config.tile_compression == "gzip" else P.COMPRESSION_NONE
+    codec = P.CODEC_BY_NAME[config.tile_compression]
     asm = P.PMTilesAssembler(
         tile_compression=codec,
         layer_name=config.layer_name,
         min_zoom=config.min_zoom,
         max_zoom=config.max_zoom,
     )
+    emit("tiles", "start")
     n_tiles = 0
     for row in tiles.toLocalIterator(prefetchPartitions=True):
         asm.add_tile(row.tile_id, row.z, bytes(row.mvt), row.content_hash, row.n_features)
         n_tiles += 1
+        if progress is not None and n_tiles % 8192 == 0:
+            emit("tiles", "progress", tiles=n_tiles, **metrics.as_dict())
+    emit("tiles", "complete", tiles=n_tiles, **metrics.as_dict())
+    records.unpersist()
     asm.bounds = [bounds[0], bounds[1], bounds[2], bounds[3]]
+    emit("archive", "start")
     hdr = asm.finalize(output_path)
+    emit("archive", "complete", path=output_path,
+         unique_blobs=hdr.tile_contents_count)
     return {
         "tiles": n_tiles,
         "features": asm.total_features,
@@ -736,4 +819,5 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         "max_zoom": hdr.max_zoom,
         "unique_blobs": hdr.tile_contents_count,
         "bounds": bounds,
+        "metrics": metrics.as_dict(),
     }

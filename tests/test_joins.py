@@ -97,3 +97,39 @@ def test_knn_join_matches_bruteforce(spark, spatial_dfs):
         order = np.lexsort((np.arange(len(d)), d))[:k]
         expect = [(i + 1, int(order[i])) for i in range(k)]
         assert sorted(got[pid]) == expect, f"probe {pid}"
+
+
+def test_knn_distributed_matches_bruteforce(spark):
+    """knn_join_distributed (no driver materialization of probes) must agree
+    with exact brute force, including probes in sparse regions that need
+    several ring expansions."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.operators.joins import knn_join_distributed
+
+    rng = np.random.default_rng(7)
+    # dense cluster + sparse tail so different probes resolve at different radii
+    lngs = np.concatenate([rng.uniform(-10, 10, 300), rng.uniform(-170, 170, 60)])
+    lats = np.concatenate([rng.uniform(-10, 10, 300), rng.uniform(-75, 75, 60)])
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(lngs, lats))],
+        schema="point_id long, lng double, lat double",
+    )
+    p_lng = np.array([0.0, 5.0, 120.0, -160.0, 0.0])
+    p_lat = np.array([0.0, 5.0, 70.0, -60.0, -74.0])
+    probes = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(p_lng, p_lat))],
+        schema="probe_id long, lng double, lat double",
+    )
+    k = 5
+    out = knn_join_distributed(pts, probes, k=k, zoom=6, radii=(1, 4, 16, 64))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.probe_id, []).append((r.rnk, r.point_id))
+    for pid in range(len(p_lng)):
+        d2 = (lngs - p_lng[pid]) ** 2 + (lats - p_lat[pid]) ** 2
+        order = np.lexsort((np.arange(len(d2)), d2))[:k]
+        assert sorted(got[pid]) == [(i + 1, int(order[i])) for i in range(k)], pid
+    # each probe appears exactly once per rank (no duplicate rounds leaked)
+    assert all(len(v) == k for v in got.values())

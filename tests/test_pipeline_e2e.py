@@ -172,3 +172,49 @@ def test_convert_end_to_end(spark, docs_table, small_config, tmp_path):
     assert rd.metadata["vector_layers"][0]["id"] == "features"
     ts = rd.metadata["tilestats"]
     assert ts["total_features"] == stats["features"]
+
+
+def test_convert_progress_events_and_metrics(spark, docs_table, tmp_path):
+    """convert(progress=...) delivers ordered phase events and the
+    accumulator metrics agree with the actual tile/record counts
+    (pipeline.rs:41-77 ProgressEvent analog + A6 accounting)."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import convert
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    n_feats = feats.count()
+    events = []
+    out = str(tmp_path / "prog.pmtiles")
+    stats = convert(feats, out, TilerConfig(min_zoom=0, max_zoom=6,
+                                            shuffle_partitions=4),
+                    progress=events.append)
+    phases = [(e.phase, e.kind) for e in events]
+    # ordered lifecycle: bounds -> tiles -> archive
+    assert phases[0] == ("bounds", "start")
+    assert ("bounds", "complete") in phases
+    assert phases.index(("tiles", "start")) < phases.index(("tiles", "complete"))
+    assert phases[-1] == ("archive", "complete")
+    done = [e for e in events if (e.phase, e.kind) == ("tiles", "complete")][0]
+    assert done.info["tiles"] == stats["tiles"]
+    m = stats["metrics"]
+    assert m["features_in"] == n_feats
+    assert m["tiles_out"] == stats["tiles"]
+    assert m["records_out"] >= stats["tiles"]  # records >= tiles (grouping)
+
+
+def test_zstd_brotli_gated(tmp_path):
+    """Codec 4/3 paths exist behind import gates: with the lib absent they
+    raise a clear NotImplementedError; round-trip when present."""
+    import pytest as _pytest
+
+    from gpq_tiles_spark.kernels import pmtiles as P
+
+    data = b"tile bytes " * 50
+    for codec, mod in ((P.COMPRESSION_ZSTD, P._zstd), (P.COMPRESSION_BROTLI, P._brotli)):
+        if mod is None:
+            with _pytest.raises(NotImplementedError):
+                P.compress(data, codec)
+        else:  # pragma: no cover - lib present in some environments
+            assert P.decompress(P.compress(data, codec), codec) == data
+    # gzip always round-trips
+    assert P.decompress(P.compress(data, P.COMPRESSION_GZIP), P.COMPRESSION_GZIP) == data
