@@ -48,15 +48,21 @@ def run_tiling(spark, sf_dir: str, max_zoom: int = 10) -> tuple[float, int, int]
     from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
     from pyspark.sql import functions as F
 
+    from pyspark import StorageLevel
+
     E._register(spark, sf_dir)
     feats = E._event_features(spark)
     cfg = TilerConfig(min_zoom=0, max_zoom=max_zoom)
     t0 = time.perf_counter()
-    tiles = encode_tiles(fanout_records(feats, cfg), cfg)
+    # persist: the range-partition sampling job would otherwise re-execute
+    # the whole fan-out (same rationale as pipeline.convert)
+    records = fanout_records(feats, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    tiles = encode_tiles(records, cfg)
     agg = tiles.agg(
         F.count("*").alias("tiles"), F.sum("n_features").alias("records")
     ).collect()[0]
     dt = time.perf_counter() - t0
+    records.unpersist()
     return dt, int(agg["tiles"]), int(agg["records"])
 
 
@@ -130,14 +136,20 @@ def run_scaling(max_zoom: int = 12) -> dict:
         # warmup pass (z0-6): spawns python workers, JITs the JVM, warms the
         # page cache — at 10^12-doc scale startup amortizes to zero, so the
         # steady-state measurement is the faithful proxy for the N->4N rule
+        from pyspark import StorageLevel
+
         wcfg = TilerConfig(min_zoom=0, max_zoom=6, shuffle_partitions=2 * cores)
         encode_tiles(fanout_records(extract_features(docs), wcfg), wcfg).agg(
             F.count("*")
         ).collect()
         t0 = time.perf_counter()
-        tiles = encode_tiles(fanout_records(extract_features(docs), cfg), cfg)
+        records = fanout_records(extract_features(docs), cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        tiles = encode_tiles(records, cfg)
         agg = tiles.agg(F.count("*"), F.sum("n_features")).collect()[0]
         dt = time.perf_counter() - t0
+        records.unpersist()
         eff[cores] = {
             "sec": round(dt, 2),
             "tiles": int(agg[0]),

@@ -295,15 +295,20 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                                 np.concatenate(([True], bx[1:] != bx[:-1])))
                             col_ends = np.append(col_starts[1:], len(bx))
                             gt = c["geom"][0]
-                            for cs, ce in zip(col_starts, col_ends):
+                            # segmented L/R pass: ALL columns at once
+                            strips_per_col = CK.polygon_columns_strips_batch(
+                                c["geom"],
+                                t0[col_starts] - buf_arr[col_starts],
+                                t1[col_starts] + buf_arr[col_starts])
+                            for strips, cs, ce in zip(strips_per_col,
+                                                      col_starts, col_ends):
                                 bufv = float(buf_arr[cs])
-                                strips = CK.polygon_column_strips(
-                                    c["geom"], float(t0[cs]) - bufv,
-                                    float(t1[cs]) + bufv)
-                                for j in range(cs, ce):
-                                    clipped = CK.polygon_strip_tile_clip(
-                                        strips, gt,
-                                        float(a0[j]) - bufv, float(a1[j]) + bufv)
+                                # segmented B/T clip: ALL tiles of the
+                                # column in one vectorized pass
+                                clips = CK.polygon_column_tiles_clip(
+                                    strips, gt,
+                                    a0[cs:ce] - bufv, a1[cs:ce] + bufv)
+                                for j, clipped in zip(range(cs, ce), clips):
                                     if clipped is None:
                                         continue
                                     w = _finish_clip(
@@ -396,6 +401,7 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
 
                 keep_pos: list[int] = []
                 keep_wkb: list[bytes] = []
+                poly_batch: dict[int, list[int]] = {}
                 for pos, fin in zip(gsel, fully_inside):
                     r = int(ridx[pos])
                     c = get_cache(r)
@@ -410,9 +416,34 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                             continue
                         keep_pos.append(pos)
                         keep_wkb.append(c["wkb"])
+                    elif c["geom"][0] in (G.POLYGON, G.MULTIPOLYGON):
+                        # boundary polygon pairs batch per feature below
+                        poly_batch.setdefault(r, []).append(int(pos))
                     else:
                         w = _clip_pair(c, z, max_zoom, extent, *tb, buffer_px,
                                        int(fid[r]))
+                        if w is not None:
+                            keep_pos.append(pos)
+                            keep_wkb.append(w)
+
+                # batched boundary clips: one 4-pass segmented SH per
+                # (feature, zoom) over all its boundary tiles at once —
+                # byte-identical to the per-pair clip_geometry loop
+                for r, poss in poly_batch.items():
+                    c = caches[r]
+                    parr = np.asarray(poss, dtype=np.int64)
+                    bufs = (t_lng1[parr] - t_lng0[parr]) * buffer_px / extent
+                    clips = CK.polygon_tiles_clip_batch(
+                        c["geom"],
+                        t_lng0[parr] - bufs, t_lat0[parr] - bufs,
+                        t_lng1[parr] + bufs, t_lat1[parr] + bufs)
+                    for pos, clipped in zip(poss, clips):
+                        if clipped is None:
+                            continue
+                        w = _finish_clip(
+                            clipped, z, max_zoom, extent,
+                            float(t_lng0[pos]), float(t_lat0[pos]),
+                            float(t_lng1[pos]), float(t_lat1[pos]), int(fid[r]))
                         if w is not None:
                             keep_pos.append(pos)
                             keep_wkb.append(w)
