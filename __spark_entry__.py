@@ -394,10 +394,17 @@ def _event_features(spark: SparkSession) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            wkbs = [
-                G.to_wkb((G.POINT, np.array([x, y])))
-                for x, y in zip(pdf["lng"], pdf["lat"])
-            ]
+            n = len(pdf)
+            # vectorized 21-byte point WKB: header + packed little-endian xy
+            buf = np.zeros((n, 21), dtype=np.uint8)
+            buf[:, 0] = 1   # little-endian
+            buf[:, 1] = G.POINT
+            xy = np.empty((n, 2), dtype="<f8")
+            xy[:, 0] = pdf["lng"].to_numpy(dtype=np.float64)
+            xy[:, 1] = pdf["lat"].to_numpy(dtype=np.float64)
+            buf[:, 5:] = xy.view(np.uint8).reshape(n, 16)
+            raw = buf.tobytes()
+            wkbs = [raw[i * 21:(i + 1) * 21] for i in range(n)]
             yield pd.DataFrame({
                 "feature_id": pdf["feature_id"],
                 "doc_id": pdf["feature_id"].astype(str),

@@ -180,6 +180,293 @@ def _finish_clip(clipped, z: int, max_zoom: int, extent: int,
     return G.to_wkb(validated)
 
 
+def _finish_poly_batch(clips: list, lng0s, lat0s, lng1s, lat1s,
+                       z: int, max_zoom: int, extent: int,
+                       fid: int) -> list:
+    """validate -> drop -> wkb for a BATCH of polygon clips (one feature,
+    many tiles) with segmented numpy math — the batched twin of
+    ``_finish_clip`` for POLYGON/MULTIPOLYGON clip outputs.
+
+    Validity (validate.rs:195-275 semantics): every ring >= 4 points, part
+    unsigned area >= 1e-10, multi downgraded to single when one part
+    survives. Drop (feature_drop.rs:129-293): per-part transform-then-
+    shoelace px^2 area — the same elementwise formula as
+    ``polygon_area_tile_px``, summed per ring with one bincount — with the
+    SipHash diffuse rule evaluated scalar only for the rare sub-threshold
+    parts. Returns list[bytes|None] aligned with ``clips``.
+    """
+    n_tiles = len(clips)
+    out: list = [None] * n_tiles
+
+    ring_arrays: list[np.ndarray] = []
+    ring_part: list[int] = []
+    part_tile: list[int] = []
+    part_rings: list[list[np.ndarray]] = []
+    for i, gcl in enumerate(clips):
+        if gcl is None:
+            continue
+        parts = [gcl[1]] if gcl[0] == G.POLYGON else gcl[1]
+        for rings in parts:
+            pi = len(part_tile)
+            part_tile.append(i)
+            part_rings.append(rings)
+            for ring in rings:
+                ring_arrays.append(ring)
+                ring_part.append(pi)
+    n_parts = len(part_tile)
+    if n_parts == 0:
+        return out
+
+    sizes = np.array([len(r) for r in ring_arrays], dtype=np.int64)
+    pts = np.concatenate([r.reshape(-1, 2) for r in ring_arrays], axis=0)
+    m = len(pts)
+    offs = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    ring_of_v = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    nxt = np.arange(1, m + 1, dtype=np.int64)
+    ne = sizes > 0
+    nxt[offs[1:][ne] - 1] = offs[:-1][ne]
+    part_of_ring = np.asarray(ring_part, dtype=np.int64)
+    tile_of_part = np.asarray(part_tile, dtype=np.int64)
+    part_of_v = part_of_ring[ring_of_v]
+    tile_of_v = tile_of_part[part_of_v]
+
+    # ---- validate: ring length >= 4 for ALL rings of a part; degree area
+    ring_ok = sizes >= 4
+    part_nrings = np.bincount(part_of_ring, minlength=n_parts)
+    part_rings_ok = (
+        np.bincount(part_of_ring, weights=ring_ok, minlength=n_parts)
+        == part_nrings
+    )
+    x = pts[:, 0]
+    y = pts[:, 1]
+    cross_deg = x * y[nxt] - x[nxt] * y
+    ring_a2_deg = np.bincount(ring_of_v, weights=cross_deg, minlength=len(sizes))
+    part_area_deg = np.abs(
+        np.bincount(part_of_ring, weights=ring_a2_deg / 2.0, minlength=n_parts)
+    )
+    part_valid = part_rings_ok & (part_area_deg >= VK.MIN_POLYGON_AREA)
+
+    # ---- drop: px^2 area with the per-tile window transform
+    lng0v = np.asarray(lng0s, dtype=np.float64)[tile_of_v]
+    lat0v = np.asarray(lat0s, dtype=np.float64)[tile_of_v]
+    wv = np.asarray(lng1s, dtype=np.float64)[tile_of_v] - lng0v
+    hv = np.asarray(lat1s, dtype=np.float64)[tile_of_v] - lat0v
+    tx = (x - lng0v) / wv * extent
+    ty = (1.0 - (y - lat0v) / hv) * extent
+    cross_px = tx * ty[nxt] - tx[nxt] * ty
+    ring_a2_px = np.bincount(ring_of_v, weights=cross_px, minlength=len(sizes))
+    part_area_px = np.abs(
+        np.bincount(part_of_ring, weights=ring_a2_px / 2.0, minlength=n_parts)
+    )
+    drop_part = np.zeros(n_parts, dtype=bool)
+    drop_part[part_area_px <= 0.0] = True
+    marginal = np.flatnonzero(
+        part_valid & (part_area_px > 0.0) & (part_area_px < DK.TINY_POLYGON_THRESHOLD)
+    )
+    for pi in marginal:
+        h = siphash13_coords(part_rings[pi])
+        drop_part[pi] = (h / float(2**64 - 1)) >= (
+            part_area_px[pi] / DK.TINY_POLYGON_THRESHOLD
+        )
+
+    # ---- per-tile assembly: tile survives iff ANY valid part survives;
+    # a surviving tile keeps ALL its valid parts (drop is per-GEOMETRY:
+    # multipolygon drops iff all parts drop, pipeline.rs:104-131).
+    # parts were appended tile-ordered, so slice by searchsorted bounds.
+    tidx = np.arange(n_tiles, dtype=np.int64)
+    p_start = np.searchsorted(tile_of_part, tidx)
+    p_end = np.searchsorted(tile_of_part, tidx, side="right")
+    for i in range(n_tiles):
+        s, e = p_start[i], p_end[i]
+        if s == e:
+            continue
+        pidx = s + np.flatnonzero(part_valid[s:e])
+        if len(pidx) == 0:
+            continue
+        if drop_part[pidx].all():
+            continue
+        if len(pidx) == 1:
+            out[i] = G.to_wkb((G.POLYGON, part_rings[int(pidx[0])]))
+        else:
+            out[i] = G.to_wkb((G.MULTIPOLYGON, [part_rings[int(p)] for p in pidx]))
+    return out
+
+
+def _grid_boundary_wkbs(strips_per_col: list, gtype: int,
+                        col_starts: np.ndarray, col_ends: np.ndarray,
+                        t0: np.ndarray, t1: np.ndarray,
+                        a0: np.ndarray, a1: np.ndarray,
+                        buf_arr: np.ndarray,
+                        extent: int) -> list:
+    """Fused boundary-tile finisher for the grid regime: B/T clip + re-close
+    + validate + tiny-polygon drop + WKB for EVERY boundary tile of a
+    (feature, zoom, x-range) in ONE set of segmented numpy passes.
+
+    Semantics per tile are identical to polygon_strip_tile_clip ->
+    filter_valid_geometry -> should_drop_geometry -> to_wkb; fusing them
+    avoids the per-column / per-tile numpy-call overhead that dominated the
+    profile (the clip output's ring structure is reused directly for the
+    validate/drop reductions instead of round-tripping through Geom tuples).
+    Returns list[bytes|None] aligned with the (column-major) tile order.
+    """
+    from .kernels.validate import MIN_POLYGON_AREA
+
+    n_tiles_total = int(col_ends[-1]) if len(col_ends) else 0
+    out: list = [None] * n_tiles_total
+
+    # ---- base ring structure per column
+    base_rings: list[np.ndarray] = []
+    base_ext: list[bool] = []
+    col_ring_span: list[tuple[int, int, int, int]] = []  # (rb_s, rb_e, vb_s, vb_e)
+    vtot = 0
+    for strips in strips_per_col:
+        rb_s = len(base_rings)
+        vb_s = vtot
+        for part in strips:
+            for ri, ring in enumerate(part):
+                base_rings.append(ring)
+                base_ext.append(ri == 0)
+                vtot += len(ring)
+        col_ring_span.append((rb_s, len(base_rings), vb_s, vtot))
+    if not base_rings:
+        return out
+    base_pts = np.concatenate([r.reshape(-1, 2) for r in base_rings], axis=0)
+    base_sizes = np.array([len(r) for r in base_rings], dtype=np.int64)
+    base_ext_a = np.array(base_ext, dtype=bool)
+
+    # ---- replicate each column's rings once per tile of that column
+    gather_chunks = []
+    size_chunks = []
+    ext_chunks = []
+    tile_chunks = []
+    for ci, (cs, ce) in enumerate(zip(col_starts, col_ends)):
+        rb_s, rb_e, vb_s, vb_e = col_ring_span[ci]
+        ct = int(ce - cs)
+        if ct == 0 or rb_e == rb_s:
+            continue
+        gather_chunks.append(np.tile(np.arange(vb_s, vb_e, dtype=np.int64), ct))
+        size_chunks.append(np.tile(base_sizes[rb_s:rb_e], ct))
+        ext_chunks.append(np.tile(base_ext_a[rb_s:rb_e], ct))
+        tile_chunks.append(np.repeat(np.arange(cs, ce, dtype=np.int64), rb_e - rb_s))
+    pts = base_pts[np.concatenate(gather_chunks)]
+    sizes = np.concatenate(size_chunks)
+    is_ext = np.concatenate(ext_chunks)
+    tile_of_ring = np.concatenate(tile_chunks)
+    n_rings = len(sizes)
+    offs = np.zeros(n_rings + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+
+    # ---- segmented B/T clip + close, bands per tile (buffered)
+    b_lo = (a0 - buf_arr)[tile_of_ring]
+    b_hi = (a1 + buf_arr)[tile_of_ring]
+    p1, o1 = CK.clip_edge_segmented(pts, offs, 1, b_lo, True)
+    p2, o2 = CK.clip_edge_segmented(p1, o1, 1, b_hi, False)
+    p3, o3 = CK.close_rings_segmented(p2, o2)
+    n3 = np.diff(o3)
+
+    # ---- clip keep rules + part structure
+    ring_kept = n3 >= 3                       # polygon_strip_tile_clip filter
+    part_of_ring = np.cumsum(is_ext) - 1      # exterior starts a new part
+    n_parts = int(part_of_ring[-1]) + 1
+    part_ext_kept = np.zeros(n_parts, dtype=bool)
+    part_ext_kept[part_of_ring[is_ext]] = ring_kept[is_ext]
+    # ring is in the clip OUTPUT iff kept AND its part's exterior was kept
+    ring_in_out = ring_kept & part_ext_kept[part_of_ring]
+
+    # ---- validate: every output ring needs >= 4 pts (closed), and the
+    # part's unsigned degree-area >= MIN_POLYGON_AREA (validate.rs:195-275)
+    small_out_ring = ring_in_out & (n3 < 4)
+    part_has_small = np.zeros(n_parts, dtype=bool)
+    part_has_small[part_of_ring[small_out_ring]] = True
+
+    m3 = len(p3)
+    ring_of_v = np.repeat(np.arange(n_rings, dtype=np.int64), n3)
+    nxt = np.arange(1, m3 + 1, dtype=np.int64)
+    ne3 = n3 > 0
+    nxt[o3[1:][ne3] - 1] = o3[:-1][ne3]
+    vx = p3[:, 0]
+    vy = p3[:, 1]
+    cross_deg = vx * vy[nxt] - vx[nxt] * vy
+    w_mask = ring_in_out[ring_of_v]
+    ring_a2_deg = np.bincount(
+        ring_of_v, weights=np.where(w_mask, cross_deg, 0.0), minlength=n_rings)
+    part_area_deg = np.abs(np.bincount(
+        part_of_ring, weights=ring_a2_deg / 2.0, minlength=n_parts))
+    part_valid = (
+        part_ext_kept & ~part_has_small & (part_area_deg >= MIN_POLYGON_AREA)
+    )
+
+    # ---- tiny-polygon drop (feature_drop.rs:129-293): px^2 area via the
+    # same per-vertex transform, SipHash only for the rare marginal parts
+    tile_of_v = tile_of_ring[ring_of_v]
+    lng0v = t0[tile_of_v]
+    wv = t1[tile_of_v] - lng0v
+    lat0v = a0[tile_of_v]
+    hv = a1[tile_of_v] - lat0v
+    tx = (vx - lng0v) / wv * extent
+    ty = (1.0 - (vy - lat0v) / hv) * extent
+    cross_px = tx * ty[nxt] - tx[nxt] * ty
+    ring_a2_px = np.bincount(
+        ring_of_v, weights=np.where(w_mask, cross_px, 0.0), minlength=n_rings)
+    part_area_px = np.abs(np.bincount(
+        part_of_ring, weights=ring_a2_px / 2.0, minlength=n_parts))
+    drop_part = part_area_px <= 0.0
+    marginal = np.flatnonzero(
+        part_valid & (part_area_px > 0.0)
+        & (part_area_px < DK.TINY_POLYGON_THRESHOLD))
+    if len(marginal):
+        from .kernels.hashes import siphash13_coords as _sip
+
+        ring_rows = {}
+        for pi in marginal:
+            ring_rows[pi] = []
+        rp = part_of_ring
+        for k in np.flatnonzero(np.isin(rp, marginal) & ring_in_out):
+            ring_rows[int(rp[k])].append(p3[o3[k]:o3[k + 1]])
+        for pi in marginal:
+            h = _sip(ring_rows[int(pi)])
+            drop_part[pi] = (h / float(2**64 - 1)) >= (
+                part_area_px[pi] / DK.TINY_POLYGON_THRESHOLD)
+
+    # ---- per-tile assembly: valid parts; survive iff not all dropped;
+    # downgrade to POLYGON when exactly one valid part
+    live_parts = np.flatnonzero(part_valid)
+    if len(live_parts) == 0:
+        return out
+    part_tile = np.zeros(n_parts, dtype=np.int64)
+    part_tile[part_of_ring] = tile_of_ring  # any ring of the part
+    # rings are part-contiguous: first/last ring index per part
+    first_ring = np.full(n_parts, -1, dtype=np.int64)
+    for_arr = np.arange(n_rings, dtype=np.int64)
+    first_ring[part_of_ring[::-1]] = for_arr[::-1]
+    last_ring = np.zeros(n_parts, dtype=np.int64)
+    last_ring[part_of_ring] = for_arr
+
+    # group live parts per tile (parts are tile-ordered)
+    lp_tiles = part_tile[live_parts]
+    boundaries = np.flatnonzero(
+        np.concatenate(([True], lp_tiles[1:] != lp_tiles[:-1])))
+    ends = np.append(boundaries[1:], len(live_parts))
+    for s, e in zip(boundaries, ends):
+        ti = int(lp_tiles[s])
+        parts_here = live_parts[s:e]
+        if drop_part[parts_here].all():
+            continue
+        polys = []
+        for pi in parts_here:
+            rr = []
+            for k in range(int(first_ring[pi]), int(last_ring[pi]) + 1):
+                if ring_in_out[k]:
+                    rr.append(p3[o3[k]:o3[k + 1]])
+            polys.append(rr)
+        if gtype == G.POLYGON or len(polys) == 1:
+            out[ti] = G.to_wkb((G.POLYGON, polys[0]))
+        else:
+            out[ti] = G.to_wkb((G.MULTIPOLYGON, polys))
+    return out
+
+
 def _clip_pair(cache: dict, z: int, max_zoom: int, extent: int,
                lng0: float, lat0: float, lng1: float, lat1: float,
                buffer_px: float, fid: int) -> bytes | None:
@@ -300,25 +587,17 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                                 c["geom"],
                                 t0[col_starts] - buf_arr[col_starts],
                                 t1[col_starts] + buf_arr[col_starts])
-                            for strips, cs, ce in zip(strips_per_col,
-                                                      col_starts, col_ends):
-                                bufv = float(buf_arr[cs])
-                                # segmented B/T clip: ALL tiles of the
-                                # column in one vectorized pass
-                                clips = CK.polygon_column_tiles_clip(
-                                    strips, gt,
-                                    a0[cs:ce] - bufv, a1[cs:ce] + bufv)
-                                for j, clipped in zip(range(cs, ce), clips):
-                                    if clipped is None:
-                                        continue
-                                    w = _finish_clip(
-                                        clipped, z, max_zoom, extent,
-                                        float(t0[j]), float(a0[j]),
-                                        float(t1[j]), float(a1[j]), int(fid[r]))
-                                    if w is not None:
-                                        k_x.append(rx0 + bx[j])
-                                        k_y.append(gyy0 + by[j])
-                                        k_w.append(w)
+                            # fused B/T clip + validate + drop + wkb for
+                            # EVERY boundary tile of this (feature, zoom,
+                            # range) in one set of segmented passes
+                            ws = _grid_boundary_wkbs(
+                                strips_per_col, gt, col_starts, col_ends,
+                                t0, t1, a0, a1, buf_arr, extent)
+                            for j, w in enumerate(ws):
+                                if w is not None:
+                                    k_x.append(rx0 + bx[j])
+                                    k_y.append(gyy0 + by[j])
+                                    k_w.append(w)
                         elif len(bx):
                             t0, a0, t1, a1 = T.tile_bounds(
                                 (rx0 + bx).astype(np.float64),
@@ -437,13 +716,11 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                         c["geom"],
                         t_lng0[parr] - bufs, t_lat0[parr] - bufs,
                         t_lng1[parr] + bufs, t_lat1[parr] + bufs)
-                    for pos, clipped in zip(poss, clips):
-                        if clipped is None:
-                            continue
-                        w = _finish_clip(
-                            clipped, z, max_zoom, extent,
-                            float(t_lng0[pos]), float(t_lat0[pos]),
-                            float(t_lng1[pos]), float(t_lat1[pos]), int(fid[r]))
+                    ws = _finish_poly_batch(
+                        clips, t_lng0[parr], t_lat0[parr],
+                        t_lng1[parr], t_lat1[parr],
+                        z, max_zoom, extent, int(fid[r]))
+                    for pos, w in zip(poss, ws):
                         if w is not None:
                             keep_pos.append(pos)
                             keep_wkb.append(w)
