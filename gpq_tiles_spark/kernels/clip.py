@@ -544,6 +544,114 @@ def polygon_tiles_clip_batch(g: Geom, bx0s: np.ndarray, by0s: np.ndarray,
     return results
 
 
+def lines_tiles_clip_batch(g: Geom, bx0s: np.ndarray, by0s: np.ndarray,
+                           bx1s: np.ndarray, by1s: np.ndarray) -> list:
+    """Clip a LINESTRING/MULTILINESTRING against MANY (buffered) tile
+    windows at once — per-tile results byte-identical to ``clip_geometry``'s
+    line path (Liang-Barsky per segment + run stitching).
+
+    Vectorized over (tile, segment) pairs; the stitch (merge consecutive
+    visible segments sharing an untouched vertex) runs as flat array ops
+    with run-ids instead of the per-segment Python loop.
+    """
+    t, d = g
+    lines = [d] if t == LINESTRING else d
+    n_tiles = len(bx0s)
+    results: list = [None] * n_tiles
+    bx0s = np.asarray(bx0s, dtype=np.float64)
+    by0s = np.asarray(by0s, dtype=np.float64)
+    bx1s = np.asarray(bx1s, dtype=np.float64)
+    by1s = np.asarray(by1s, dtype=np.float64)
+
+    # collect clipped parts per tile, preserving input part order
+    tile_parts: list[list[np.ndarray]] = [[] for _ in range(n_tiles)]
+    for ls in lines:
+        a = np.asarray(ls, dtype=np.float64)
+        if len(a) < 2:
+            continue
+        p0 = a[:-1]
+        p1 = a[1:]
+        dseg = p1 - p0
+        s = len(p0)
+        # Liang-Barsky over the (tile, segment) grid — identical parameter
+        # updates to _clip_segments, broadcast over tiles
+        t0 = np.zeros((n_tiles, s))
+        t1 = np.ones((n_tiles, s))
+        for p_e, q_e in (
+            (-dseg[:, 0][None, :], p0[:, 0][None, :] - bx0s[:, None]),
+            (dseg[:, 0][None, :], bx1s[:, None] - p0[:, 0][None, :]),
+            (-dseg[:, 1][None, :], p0[:, 1][None, :] - by0s[:, None]),
+            (dseg[:, 1][None, :], by1s[:, None] - p0[:, 1][None, :]),
+        ):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(p_e != 0, q_e / np.where(p_e == 0, 1.0, p_e), 0.0)
+            t0 = np.where(p_e < 0, np.maximum(t0, r), t0)
+            t1 = np.where(p_e > 0, np.minimum(t1, r), t1)
+            reject = (p_e == 0) & (q_e < 0)
+            t0 = np.where(reject, 1.0, t0)
+            t1 = np.where(reject, 0.0, t1)
+        visible = t0 < t1
+        if not visible.any():
+            continue
+        vt, vs = np.nonzero(visible)  # tile-major, segment ascending
+        t0v = t0[vt, vs][:, None]
+        t1v = t1[vt, vs][:, None]
+        starts_c = p0[vs] + t0v * dseg[vs]
+        ends_c = p0[vs] + t1v * dseg[vs]
+        # run breaks: different tile, non-consecutive segment, or the shared
+        # vertex was clipped (exact coordinate comparison, like the scalar
+        # np.allclose(rtol=0, atol=0))
+        new_run = np.ones(len(vt), dtype=bool)
+        if len(vt) > 1:
+            same = (
+                (vt[1:] == vt[:-1])
+                & (vs[1:] == vs[:-1] + 1)
+                & np.all(ends_c[:-1] == starts_c[1:], axis=1)
+            )
+            new_run[1:] = ~same
+        run_id = np.cumsum(new_run) - 1
+        n_runs = int(run_id[-1]) + 1
+        run_len = np.bincount(run_id, minlength=n_runs)
+        run_first = np.flatnonzero(new_run)
+        run_tile = vt[run_first]
+        # last run per tile (for the final-run degeneracy rule)
+        is_last_run = np.ones(n_runs, dtype=bool)
+        is_last_run[:-1] = run_tile[1:] != run_tile[:-1]
+        # vertex layout per run: [start_of_first, end_0, end_1, ...]
+        nvert = run_len + 1
+        v_off = np.zeros(n_runs + 1, dtype=np.int64)
+        np.cumsum(nvert, out=v_off[1:])
+        coords = np.empty((int(v_off[-1]), 2), dtype=np.float64)
+        coords[v_off[:-1]] = starts_c[run_first]
+        run_start_pos = np.zeros(n_runs, dtype=np.int64)
+        run_start_pos[1:] = np.cumsum(run_len)[:-1]
+        local = np.arange(len(vt), dtype=np.int64) - run_start_pos[run_id]
+        coords[v_off[:-1][run_id] + 1 + local] = ends_c
+        # degeneracy: the LAST run of a (tile, part) with exactly 2 equal
+        # vertices is dropped (matches _clip_segments' tail handling)
+        drop_run = (
+            is_last_run
+            & (nvert == 2)
+            & np.all(
+                coords[v_off[:-1]] == coords[np.maximum(v_off[1:] - 1, 0)], axis=1
+            )
+        )
+        for rj in range(n_runs):
+            if drop_run[rj]:
+                continue
+            tile_parts[int(run_tile[rj])].append(coords[v_off[rj]:v_off[rj + 1]])
+
+    for i in range(n_tiles):
+        parts = tile_parts[i]
+        if not parts:
+            continue
+        if len(parts) == 1:
+            results[i] = (LINESTRING, parts[0])
+        else:
+            results[i] = (MULTILINESTRING, parts)
+    return results
+
+
 def _clip_polygon(rings: list[np.ndarray], bx0, by0, bx1, by1, pre_bbox) -> Geom | None:
     if pre_bbox is None:
         xs = np.concatenate([np.asarray(r)[:, 0] for r in rings])

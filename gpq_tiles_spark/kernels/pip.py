@@ -16,16 +16,17 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     r = np.asarray(ring, dtype=np.float64)
     x0, y0 = r[:-1, 0], r[:-1, 1]
     x1, y1 = r[1:, 0], r[1:, 1]
-    # edge straddles the horizontal line at py (half-open: [min, max))
+    # edge straddles the horizontal line at py (half-open: [min, max));
+    # the x-intersection is computed ONLY for straddling pairs (typically a
+    # handful per point) — same per-element fp ops, far fewer of them
     py_ = py[:, None]
-    px_ = px[:, None]
     straddle = (y0[None, :] > py_) != (y1[None, :] > py_)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x0[None, :] + (py_ - y0[None, :]) / (y1[None, :] - y0[None, :]) * (
-            x1[None, :] - x0[None, :]
-        )
-    cross = straddle & (px_ < xint)
-    return cross.sum(axis=1) % 2 == 1
+    si, sj = np.nonzero(straddle)
+    if len(si) == 0:
+        return np.zeros(len(px), dtype=bool)
+    xint = x0[sj] + (py[si] - y0[sj]) / (y1[sj] - y0[sj]) * (x1[sj] - x0[sj])
+    hits = si[px[si] < xint]
+    return np.bincount(hits, minlength=len(px)) % 2 == 1
 
 
 def points_in_polygon(px: np.ndarray, py: np.ndarray,

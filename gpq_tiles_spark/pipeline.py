@@ -602,11 +602,18 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                             t0, a0, t1, a1 = T.tile_bounds(
                                 (rx0 + bx).astype(np.float64),
                                 (gyy0 + by).astype(np.float64), z)
-                            for j in range(len(bx)):
-                                w = _clip_pair(c, z, max_zoom, extent,
-                                               float(t0[j]), float(a0[j]),
-                                               float(t1[j]), float(a1[j]),
-                                               buffer_px, int(fid[r]))
+                            bufs = (t1 - t0) * buffer_px / extent
+                            # batched Liang-Barsky over all boundary tiles
+                            clips = CK.lines_tiles_clip_batch(
+                                c["geom"], t0 - bufs, a0 - bufs,
+                                t1 + bufs, a1 + bufs)
+                            for j, clipped in enumerate(clips):
+                                if clipped is None:
+                                    continue
+                                w = _finish_clip(clipped, z, max_zoom, extent,
+                                                 float(t0[j]), float(a0[j]),
+                                                 float(t1[j]), float(a1[j]),
+                                                 int(fid[r]))
                                 if w is not None:
                                     k_x.append(rx0 + bx[j])
                                     k_y.append(gyy0 + by[j])
@@ -681,6 +688,7 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                 keep_pos: list[int] = []
                 keep_wkb: list[bytes] = []
                 poly_batch: dict[int, list[int]] = {}
+                line_batch: dict[int, list[int]] = {}
                 for pos, fin in zip(gsel, fully_inside):
                     r = int(ridx[pos])
                     c = get_cache(r)
@@ -698,6 +706,8 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                     elif c["geom"][0] in (G.POLYGON, G.MULTIPOLYGON):
                         # boundary polygon pairs batch per feature below
                         poly_batch.setdefault(r, []).append(int(pos))
+                    elif c["geom"][0] in (G.LINESTRING, G.MULTILINESTRING):
+                        line_batch.setdefault(r, []).append(int(pos))
                     else:
                         w = _clip_pair(c, z, max_zoom, extent, *tb, buffer_px,
                                        int(fid[r]))
@@ -721,6 +731,25 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                         t_lng1[parr], t_lat1[parr],
                         z, max_zoom, extent, int(fid[r]))
                     for pos, w in zip(poss, ws):
+                        if w is not None:
+                            keep_pos.append(pos)
+                            keep_wkb.append(w)
+
+                for r, poss in line_batch.items():
+                    c = caches[r]
+                    parr = np.asarray(poss, dtype=np.int64)
+                    bufs = (t_lng1[parr] - t_lng0[parr]) * buffer_px / extent
+                    clips = CK.lines_tiles_clip_batch(
+                        c["geom"],
+                        t_lng0[parr] - bufs, t_lat0[parr] - bufs,
+                        t_lng1[parr] + bufs, t_lat1[parr] + bufs)
+                    for pos, clipped in zip(poss, clips):
+                        if clipped is None:
+                            continue
+                        w = _finish_clip(
+                            clipped, z, max_zoom, extent,
+                            float(t_lng0[pos]), float(t_lat0[pos]),
+                            float(t_lng1[pos]), float(t_lat1[pos]), int(fid[r]))
                         if w is not None:
                             keep_pos.append(pos)
                             keep_wkb.append(w)

@@ -111,3 +111,53 @@ def test_directory_round_trip_prop(raw):
     back = P.decode_directory(data)
     assert [(e.tile_id, e.offset, e.length, e.run_length) for e in back] == [
         (e.tile_id, e.offset, e.length, e.run_length) for e in entries]
+
+
+def test_batched_clip_paths_byte_identical():
+    """The segmented/batched clip kernels must be byte-identical to the
+    per-tile scalar paths (the engine's fast paths vs reference-shaped
+    loops): polygon column strips + tile bands, and Liang-Barsky lines."""
+    import numpy as np
+
+    from gpq_tiles_spark.kernels import clip as CK
+    from gpq_tiles_spark.kernels import geom as G
+
+    rng = np.random.default_rng(3)
+    for trial in range(60):
+        n = rng.integers(4, 40)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(0.5, 1.0, n)
+        ext = np.stack([np.cos(ang) * rad, np.sin(ang) * rad], 1)
+        ext = np.vstack([ext, ext[:1]])
+        hole = ext[::-1] * 0.3
+        g = ((G.POLYGON, [ext, hole]) if trial % 2
+             else (G.MULTIPOLYGON, [[ext, hole], [ext * 0.1 + 2.0]]))
+        x0, x1 = sorted(rng.uniform(-1.2, 1.2, 2))
+        strips = CK.polygon_column_strips(g, x0, x1)
+        t_n = int(rng.integers(1, 10))
+        lo = np.sort(rng.uniform(-1.2, 1.2, t_n))
+        hi = lo + rng.uniform(0.05, 0.8, t_n)
+        batch = CK.polygon_column_tiles_clip(strips, g[0], lo, hi)
+        for t in range(t_n):
+            ref = CK.polygon_strip_tile_clip(strips, g[0], float(lo[t]), float(hi[t]))
+            assert (batch[t] is None) == (ref is None)
+            if ref is not None:
+                assert G.to_wkb(batch[t]) == G.to_wkb(ref)
+
+    for trial in range(60):
+        npts = rng.integers(2, 30)
+        pts = np.cumsum(rng.uniform(-0.5, 0.5, (npts, 2)), axis=0)
+        g = ((G.MULTILINESTRING, [pts, pts[::-1] * 0.5 + 1.0]) if trial % 3 == 0
+             else (G.LINESTRING, pts))
+        t_n = int(rng.integers(1, 8))
+        x0 = rng.uniform(-3, 3, t_n)
+        y0 = rng.uniform(-3, 3, t_n)
+        x1 = x0 + rng.uniform(0.1, 2.0, t_n)
+        y1 = y0 + rng.uniform(0.1, 2.0, t_n)
+        batch = CK.lines_tiles_clip_batch(g, x0, y0, x1, y1)
+        for t in range(t_n):
+            ref = CK.clip_geometry(g, float(x0[t]), float(y0[t]),
+                                   float(x1[t]), float(y1[t]), 0.0)
+            assert (batch[t] is None) == (ref is None)
+            if ref is not None:
+                assert G.to_wkb(batch[t]) == G.to_wkb(ref)
