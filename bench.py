@@ -99,8 +99,69 @@ def main() -> None:
 
     if scaling:
         result["scaling"] = run_scaling()
+    if "--adm4" in sys.argv:
+        result["adm4_anchor"] = run_adm4_anchor(cpus)
 
     print(json.dumps(result))
+
+
+def run_adm4_anchor(cores: int = 32) -> dict:
+    """Like-for-like run against the reference's published anchor: 363,783
+    small polygons in a Netherlands-sized box -> z0-14 PMTiles archive
+    (context/ARCHITECTURE.md:74-80: ~3 min single-node for ADM4). Full
+    convert() incl. driver-side archive assembly."""
+    import numpy as np
+    import pandas as pd
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import FEATURES_SCHEMA
+    from gpq_tiles_spark.kernels import geom as G
+    from gpq_tiles_spark.pipeline import convert
+
+    spark = _fresh_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    n = 363_783
+    base = spark.range(n).repartition(4 * cores)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(ids[0] if len(ids) else 0)
+            cx = 3.3 + rng.uniform(0, 3.5, len(ids))
+            cy = 50.7 + rng.uniform(0, 3.0, len(ids))
+            w = rng.uniform(0.001, 0.02, len(ids))
+            h = rng.uniform(0.001, 0.02, len(ids))
+            out = {k: [] for k in (
+                "feature_id", "doc_id", "span_offset", "wkb", "geom_type",
+                "lng_min", "lat_min", "lng_max", "lat_max")}
+            for i in range(len(ids)):
+                x0, y0 = cx[i] - w[i], cy[i] - h[i]
+                x1, y1 = cx[i] + w[i], cy[i] + h[i]
+                ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+                out["feature_id"].append(int(ids[i]))
+                out["doc_id"].append(str(ids[i]))
+                out["span_offset"].append(0)
+                out["wkb"].append(G.to_wkb((G.POLYGON, [ring])))
+                out["geom_type"].append(G.POLYGON)
+                out["lng_min"].append(x0)
+                out["lat_min"].append(y0)
+                out["lng_max"].append(x1)
+                out["lat_max"].append(y1)
+            yield pd.DataFrame(out)
+
+    feats = base.mapInPandas(gen, schema=FEATURES_SCHEMA)
+    cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores)
+    t0 = time.perf_counter()
+    stats = convert(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg)
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "workload": "363,783 small polygons (NL-sized box) -> z0-14 pmtiles",
+        "sec": round(dt, 1),
+        "features_per_sec": round(363_783 / dt, 1),
+        "tiles": stats["tiles"],
+        "reference_anchor_sec": 180,
+    }
 
 
 def _scaling_fixture(n_docs: int = 100_000) -> str:
