@@ -341,6 +341,52 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("tile_id", "z", "x", "y", "n_features")
 
 
+def _sql_knn_distributed() -> str:
+    # oracle for the DISTRIBUTED kNN operator (probes never collected):
+    # brute-force 5-NN, rank-only output so float ordering is the only
+    # cross-engine contact point (same arithmetic expression both sides)
+    plng = "(CAST((r.r_regionkey * 61) % 300 AS DOUBLE) - 150.0)"
+    plat = "(CAST((r.r_regionkey * 43) % 120 AS DOUBLE) - 60.0)"
+    elng = EVENT_LNG.replace("event_id", "e.event_id")
+    elat = EVENT_LAT.replace("event_id", "e.event_id")
+    return f"""
+        SELECT probe_id, rnk, point_id
+        FROM (
+            SELECT CAST(r.r_regionkey AS BIGINT) AS probe_id,
+                   e.event_id AS point_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.r_regionkey
+                       ORDER BY ({elng} - {plng}) * ({elng} - {plng})
+                              + ({elat} - {plat}) * ({elat} - {plat}) ASC,
+                                e.event_id ASC
+                   ) AS rnk
+            FROM region r CROSS JOIN events e
+        ) t
+        WHERE rnk <= 5
+    """
+
+
+def _q_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/J3 scale path: cell-ring kNN with probes kept distributed
+    (operators/joins.py::knn_join_distributed) — checked against the
+    brute-force SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.operators.joins import knn_join_distributed
+
+    _register(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT event_id AS point_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events"
+    )
+    probes = spark.sql(
+        "SELECT CAST(r_regionkey AS BIGINT) AS probe_id, "
+        "CAST((r_regionkey * 61) % 300 AS DOUBLE) - 150.0 AS lng, "
+        "CAST((r_regionkey * 43) % 120 AS DOUBLE) - 60.0 AS lat FROM region"
+    )
+    out = knn_join_distributed(pts, probes, k=5, zoom=6)
+    return out.select("probe_id", "rnk", "point_id")
+
+
 def _q_tile_records_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed tile-pipeline check: fan-out -> range shuffle -> encode
     at min_zoom=max_zoom=8 over point features. At base zoom the thinning
@@ -471,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_neardup"] = _q_minhash_neardup
     out["tile_pipeline_z8"] = _q_tile_pipeline
     out["tile_records_z8"] = _q_tile_records_z8
+    out["knn_distributed"] = _q_knn_distributed
     return out
 
 
@@ -480,4 +527,5 @@ def oracle_sql() -> dict[str, str]:
         out[name] = duck_sql
     # engine-backed query whose result is provably the z8 assignment SQL
     out["tile_records_z8"] = _sql_tile_assign_z8()
+    out["knn_distributed"] = _sql_knn_distributed()
     return out
