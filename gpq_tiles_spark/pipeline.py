@@ -1078,6 +1078,195 @@ def encode_tiles(records: DataFrame, config: TilerConfig,
     return sorted_recs.mapInPandas(make_encoder(config, metrics), schema=TILES_SCHEMA)
 
 
+SHARD_ENTRIES_SCHEMA = StructType(
+    [
+        StructField("tile_id", LongType(), False),
+        StructField("z", IntegerType(), False),
+        StructField("content_hash", LongType(), False),
+        StructField("raw_len", LongType(), False),
+        StructField("local_off", LongType(), False),
+        StructField("blob_len", LongType(), False),
+        StructField("n_features", LongType(), False),
+        StructField("pid", IntegerType(), False),
+    ]
+)
+
+
+def _make_shard_writer(shard_dir: str, codec: int):
+    """Per-partition shard writer: compresses tile blobs ON THE EXECUTORS
+    (the single-writer convert() compresses every blob on the driver) and
+    appends them to shard_{pid}.bin with in-shard dedup; emits 40-byte
+    entry rows instead of tile bytes. This is the scale-out form of the
+    sink: at 10^8+ tiles all blob bytes no longer cross the driver NIC."""
+    import os
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels.pmtiles import compress
+
+        f = None
+        pid = None
+        local_off = 0
+        by_hash: dict[tuple[int, int], tuple[int, int]] = {}
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if f is None:
+                    pid = int(pdf["pid"].iloc[0])
+                    f = open(os.path.join(shard_dir, f"shard_{pid:05d}.bin"), "wb")
+                out = {k: [] for k in (
+                    "tile_id", "z", "content_hash", "raw_len", "local_off",
+                    "blob_len", "n_features", "pid")}
+                for row in pdf.itertuples(index=False):
+                    raw = bytes(row.mvt)
+                    key = (int(row.content_hash), len(raw))
+                    hit = by_hash.get(key)
+                    if hit is None:
+                        blob = compress(raw, codec)
+                        hit = (local_off, len(blob))
+                        by_hash[key] = hit
+                        f.write(blob)
+                        local_off += len(blob)
+                    out["tile_id"].append(int(row.tile_id))
+                    out["z"].append(int(row.z))
+                    out["content_hash"].append(int(row.content_hash))
+                    out["raw_len"].append(len(raw))
+                    out["local_off"].append(hit[0])
+                    out["blob_len"].append(hit[1])
+                    out["n_features"].append(int(row.n_features))
+                    out["pid"].append(pid)
+                yield pd.DataFrame(out)
+        finally:
+            if f is not None:
+                f.close()
+
+    return write
+
+
+def convert_sharded(features: DataFrame, output_path: str,
+                    config: TilerConfig | None = None,
+                    bounds: tuple[float, float, float, float] | None = None,
+                    shard_dir: str | None = None) -> dict:
+    """Scale-out sink: executors write per-range shard files (compressed
+    blobs, in-shard dedup), the driver concatenates live byte ranges and
+    writes the directory — output byte-identical to ``convert``'s
+    single-writer archive.
+
+    This removes the two driver bottlenecks of the streaming sink named in
+    the round-1 review: per-blob gzip on the driver, and all tile bytes
+    crossing one NIC. The driver handles only 40-byte entry rows (the same
+    asymptotics as the reference's entry list) plus sequential file concat.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .kernels import pmtiles as P
+
+    config = (config or TilerConfig()).validate()
+    if bounds is None:
+        row = features.agg(
+            F.min("lng_min"), F.min("lat_min"), F.max("lng_max"), F.max("lat_max")
+        ).collect()[0]
+        if row[0] is None:
+            bounds = (-180.0, -85.0511287798066, 180.0, 85.0511287798066)
+        else:
+            bounds = (row[0], row[1], row[2], row[3])
+
+    from pyspark import StorageLevel
+
+    records = fanout_records(features, config).persist(StorageLevel.MEMORY_AND_DISK)
+    tiles = encode_tiles(records, config)
+    codec = P.CODEC_BY_NAME[config.tile_compression]
+    own_dir = shard_dir is None
+    shard_dir = shard_dir or tempfile.mkdtemp(prefix="gpq_shards_")
+    entries_df = tiles.withColumn("pid", F.spark_partition_id()).mapInPandas(
+        _make_shard_writer(shard_dir, codec), schema=SHARD_ENTRIES_SCHEMA
+    )
+    rows = entries_df.collect()
+    records.unpersist()
+    rows.sort(key=lambda r: r.tile_id)
+
+    # global first-occurrence dedup in tile_id order — EXACT assembler
+    # semantics (hash-keyed map with the raw-length collision guard), so the
+    # output bytes match the single-writer archive
+    final_by_hash: dict[int, tuple[int, int, int]] = {}
+    live_ranges: dict[int, list[tuple[int, int]]] = {}
+    entries: list[P.DirEntry] = []
+    data_len = 0
+    n_blobs = 0
+    total_features = 0
+    features_per_zoom: dict[int, int] = {}
+    zoom_seen: list[int] = []
+    for r in rows:
+        hit = final_by_hash.get(r.content_hash)
+        if hit is not None and hit[2] != r.raw_len:
+            hit = None
+        if hit is None:
+            hit = (data_len, r.blob_len, r.raw_len)
+            final_by_hash[r.content_hash] = hit
+            live_ranges.setdefault(r.pid, []).append((r.local_off, r.blob_len))
+            data_len += r.blob_len
+            n_blobs += 1
+        entries.append(P.DirEntry(r.tile_id, hit[0], hit[1], 1))
+        total_features += r.n_features
+        features_per_zoom[r.z] = features_per_zoom.get(r.z, 0) + r.n_features
+        zoom_seen.append(r.z)
+
+    coalesced = P.coalesce_run_lengths(entries)
+    root_dir = P.compress(P.encode_directory(coalesced), P.COMPRESSION_GZIP)
+    tilestats = {
+        "total_features": total_features,
+        "features_per_zoom": {str(k): v for k, v in sorted(features_per_zoom.items())},
+    }
+    meta = P.compress(
+        P.metadata_json(config.layer_name, config.min_zoom, config.max_zoom,
+                        {}, tilestats),
+        P.COMPRESSION_GZIP,
+    )
+    hdr = P.Header(
+        root_dir_offset=P.HEADER_SIZE,
+        root_dir_length=len(root_dir),
+        json_metadata_offset=P.HEADER_SIZE + len(root_dir),
+        json_metadata_length=len(meta),
+        tile_data_offset=P.HEADER_SIZE + len(root_dir) + len(meta),
+        tile_data_length=data_len,
+        addressed_tiles_count=len(entries),
+        tile_entries_count=len(coalesced),
+        tile_contents_count=n_blobs,
+        clustered=True,
+        internal_compression=P.COMPRESSION_GZIP,
+        tile_compression=codec,
+        tile_type=P.TILETYPE_MVT,
+        min_zoom=min(zoom_seen) if zoom_seen else config.min_zoom,
+        max_zoom=max(zoom_seen) if zoom_seen else config.max_zoom,
+        min_lon=bounds[0] if entries else -180.0,
+        min_lat=bounds[1] if entries else -85.0,
+        max_lon=bounds[2] if entries else 180.0,
+        max_lat=bounds[3] if entries else 85.0,
+    )
+    with open(output_path, "wb") as out_f:
+        out_f.write(hdr.to_bytes())
+        out_f.write(root_dir)
+        out_f.write(meta)
+        for pid in sorted(live_ranges):
+            shard_path = os.path.join(shard_dir, f"shard_{pid:05d}.bin")
+            with open(shard_path, "rb") as sf:
+                for off, ln in live_ranges[pid]:  # ascending per shard
+                    sf.seek(off)
+                    out_f.write(sf.read(ln))
+    if own_dir:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    return {
+        "tiles": len(entries),
+        "features": total_features,
+        "min_zoom": hdr.min_zoom,
+        "max_zoom": hdr.max_zoom,
+        "unique_blobs": n_blobs,
+        "bounds": bounds,
+    }
+
+
 def convert(features: DataFrame, output_path: str, config: TilerConfig | None = None,
              bounds: tuple[float, float, float, float] | None = None,
              salted: bool = False,

@@ -218,3 +218,22 @@ def test_zstd_brotli_gated(tmp_path):
             assert P.decompress(P.compress(data, codec), codec) == data
     # gzip always round-trips
     assert P.decompress(P.compress(data, P.COMPRESSION_GZIP), P.COMPRESSION_GZIP) == data
+
+
+def test_convert_sharded_byte_identical(spark, docs_table, tmp_path):
+    """The scale-out sink (executor-written shard files + driver concat)
+    must produce the EXACT same archive bytes as the single-writer
+    convert() — same dedup decisions, offsets, directory, and header."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import convert, convert_sharded
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    cfg = TilerConfig(min_zoom=0, max_zoom=7, shuffle_partitions=4)
+    p1 = str(tmp_path / "single.pmtiles")
+    p2 = str(tmp_path / "sharded.pmtiles")
+    s1 = convert(feats, p1, cfg)
+    s2 = convert_sharded(feats, p2, cfg)
+    assert s1["tiles"] == s2["tiles"]
+    assert s1["unique_blobs"] == s2["unique_blobs"]
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
