@@ -47,6 +47,56 @@ def incremental_extract(spark: SparkSession, docs_dir: str, staging_dir: str,
     q.awaitTermination()
 
 
+def streaming_first_seen(docs_stream: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Custom STATEFUL streaming operator [north-star:
+    applyInPandasWithState]: cross-microbatch exact dedup.
+
+    Keyed by content hash; per-key state is a seen flag persisted in the
+    streaming state store, so a document whose text already appeared in ANY
+    previous microbatch (e.g. a previous incremental drain with the same
+    checkpoint) is suppressed. Output rows: (content_hash, doc_id,
+    n_dups_in_batch) — one per FIRST global occurrence.
+
+    At 10^12-doc scale the state store shards by the hash key across
+    executors; only (hash -> flag) pairs persist, never text.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+    ).groupBy("content_hash")
+
+    def first_seen(key, pdfs, state):
+        n = 0
+        first = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if first is None and len(pdf):
+                first = str(pdf["doc_id"].iloc[0])
+        if state.exists or first is None:
+            yield pd.DataFrame(
+                {"content_hash": [], "doc_id": [], "n_dups_in_batch": []}
+            ).astype({"content_hash": str, "doc_id": str, "n_dups_in_batch": "int64"})
+        else:
+            state.update((True,))
+            yield pd.DataFrame({
+                "content_hash": [key[0]],
+                "doc_id": [first],
+                "n_dups_in_batch": [n - 1],
+            })
+
+    return keyed.applyInPandasWithState(
+        first_seen,
+        outputStructType="content_hash string, doc_id string, n_dups_in_batch long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:
     """Event-time windowed counts with late-data watermark (works on a
