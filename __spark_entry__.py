@@ -271,6 +271,32 @@ def _sql_ann(dialect: str) -> str:
     return _ANN_TEMPLATE.format(dot=dot)
 
 
+_EMB_NEARDUP_THRESHOLD = 0.4
+
+
+def _sql_emb_neardup(dialect: str) -> str:
+    # embedding-cosine near-dup pairs; INTEGER-only output (pair ids), the
+    # float only gates the filter — both engines fold the dot product
+    # left-to-right in double, same as the rank-checked ann_cosine_topk
+    if dialect == "spark":
+        def dot(x, y):
+            return (f"aggregate(zip_with({x}, {y}, (p, q) -> "
+                    "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    else:
+        def dot(x, y):
+            return (f"list_dot_product(CAST({x} AS DOUBLE[]), "
+                    f"CAST({y} AS DOUBLE[]))")
+    cos = (f"({dot('a.embedding', 'b.embedding')} / "
+           f"(sqrt({dot('a.embedding', 'a.embedding')}) * "
+           f"sqrt({dot('b.embedding', 'b.embedding')})))")
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {_EMB_NEARDUP_THRESHOLD}
+    """
+
+
 def _sql_hourly(dialect: str) -> str:
     # event-time windowed counts (batch form of the streaming window agg)
     cast = "STRING" if dialect == "spark" else "VARCHAR"
@@ -364,6 +390,17 @@ def _sql_knn_distributed() -> str:
         ) t
         WHERE rnk <= 5
     """
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star embedding-cosine near-dup operator (brute-force exact
+    path) vs the DuckDB pair SQL; integer pair output."""
+    from gpq_tiles_spark.operators.similarity import embedding_near_duplicates
+
+    _register(spark, sf_dir)
+    return embedding_near_duplicates(
+        spark.table("embeddings"), threshold=_EMB_NEARDUP_THRESHOLD
+    ).select("vec_a", "vec_b")
 
 
 def _q_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tile_pipeline_z8"] = _q_tile_pipeline
     out["tile_records_z8"] = _q_tile_records_z8
     out["knn_distributed"] = _q_knn_distributed
+    out["emb_neardup_pairs"] = _q_emb_neardup
     return out
 
 
@@ -528,4 +566,5 @@ def oracle_sql() -> dict[str, str]:
     # engine-backed query whose result is provably the z8 assignment SQL
     out["tile_records_z8"] = _sql_tile_assign_z8()
     out["knn_distributed"] = _sql_knn_distributed()
+    out["emb_neardup_pairs"] = _sql_emb_neardup("duckdb")
     return out

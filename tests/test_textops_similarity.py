@@ -225,3 +225,18 @@ def test_lsh_hot_bucket_cap(spark, vec_df):
     out = cosine_topk_lsh(df, probes, k=5, dim=16, n_planes=2, n_tables=4,
                           max_bucket=3).collect()
     assert len(out) <= 5 * 4  # bounded by k per probe regardless of hot buckets
+
+
+def test_embedding_near_duplicates_lsh_matches_bruteforce(spark, vec_df):
+    """LSH-candidate near-dup path finds the same above-threshold pairs as
+    exact brute force (the planted twin pair has cosine ~1)."""
+    from gpq_tiles_spark.operators.similarity import embedding_near_duplicates
+
+    df, _ = vec_df
+    exact = {(r.vec_a, r.vec_b) for r in embedding_near_duplicates(
+        df, threshold=0.9).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in embedding_near_duplicates(
+        df, threshold=0.9, use_lsh=True, dim=16, n_planes=4, n_tables=12).collect()}
+    assert (0, 1) in exact          # the planted near-identical pair
+    assert approx <= exact          # LSH never invents pairs (exact verify)
+    assert (0, 1) in approx         # and finds the twin
