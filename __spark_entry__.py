@@ -290,9 +290,14 @@ def _sql_emb_neardup(dialect: str) -> str:
     cos = (f"({dot('a.embedding', 'b.embedding')} / "
            f"(sqrt({dot('a.embedding', 'a.embedding')}) * "
            f"sqrt({dot('b.embedding', 'b.embedding')})))")
+    # fixed 500-vector subset: the contract row checks operator semantics
+    # exactly at every sf without an O(n^2) bench blowup (the operator
+    # library's LSH path is the at-scale variant)
     return f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM (SELECT * FROM embeddings WHERE vec_id < 500) a
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 500) b
+          ON a.vec_id < b.vec_id
         WHERE {cos} >= {_EMB_NEARDUP_THRESHOLD}
     """
 
@@ -397,9 +402,12 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path) vs the DuckDB pair SQL; integer pair output."""
     from gpq_tiles_spark.operators.similarity import embedding_near_duplicates
 
+    from pyspark.sql import functions as F
+
     _register(spark, sf_dir)
     return embedding_near_duplicates(
-        spark.table("embeddings"), threshold=_EMB_NEARDUP_THRESHOLD
+        spark.table("embeddings").where(F.col("vec_id") < 500),
+        threshold=_EMB_NEARDUP_THRESHOLD,
     ).select("vec_a", "vec_b")
 
 
