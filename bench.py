@@ -116,7 +116,7 @@ def run_adm4_anchor(cores: int = 32) -> dict:
     from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.extract import FEATURES_SCHEMA
     from gpq_tiles_spark.kernels import geom as G
-    from gpq_tiles_spark.pipeline import convert
+    from gpq_tiles_spark.pipeline import convert_sharded
 
     spark = _fresh_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -152,7 +152,9 @@ def run_adm4_anchor(cores: int = 32) -> dict:
     feats = base.mapInPandas(gen, schema=FEATURES_SCHEMA)
     cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores)
     t0 = time.perf_counter()
-    stats = convert(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg)
+    # sharded sink: executor-parallel blob compression, byte-identical
+    # archive (tests/test_pipeline_e2e.py::test_convert_sharded_byte_identical)
+    stats = convert_sharded(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg)
     dt = time.perf_counter() - t0
     spark.stop()
     return {
