@@ -1078,6 +1078,43 @@ def encode_tiles(records: DataFrame, config: TilerConfig,
     return sorted_recs.mapInPandas(make_encoder(config, metrics), schema=TILES_SCHEMA)
 
 
+def encode_single_tile(features: list[tuple[int, bytes]], z: int, x: int, y: int,
+                       config: TilerConfig | None = None) -> bytes | None:
+    """Reference ``generate_single_tile`` analog (pipeline.rs:1753):
+    clip + validate + drop + MVT-encode the given (feature_id, wkb) pairs
+    into ONE tile's bytes — driver-side, no Spark. Useful for debugging a
+    tile, backfilling a tile server, or diffing against the distributed
+    pipeline's output for the same (z, x, y). Returns None when nothing
+    survives. Features are encoded in feature_id order (the pipeline's
+    in-partition sort order), so bytes match the distributed encode."""
+    config = (config or TilerConfig()).validate()
+    lng0, lat0, lng1, lat1 = (
+        float(v[0]) for v in T.tile_bounds(np.array([x]), np.array([y]), z)
+    )
+    buf_deg = (lng1 - lng0) * config.buffer_pixels / config.extent
+    msgs: list[bytes] = []
+    for fid, wkb in sorted(features, key=lambda t: t[0]):
+        g = G.from_wkb(wkb)
+        simplified = SK.simplify_for_zoom(g, config.max_zoom, config.extent,
+                                          config.simplification)
+        clipped = CK.clip_geometry(simplified, lng0, lat0, lng1, lat1, buf_deg)
+        if clipped is None:
+            continue
+        w = _finish_clip(clipped, z, config.max_zoom, config.extent,
+                         lng0, lat0, lng1, lat1, int(fid))
+        if w is None:
+            continue
+        cmds, gtype = M.encode_geometry(G.from_wkb(w), lng0, lat0, lng1, lat1,
+                                        config.extent)
+        if not cmds and gtype == M.GEOM_UNKNOWN:
+            continue
+        msgs.append(M.encode_feature(int(fid), [], gtype, cmds))
+    if not msgs:
+        return None
+    head, tail = mvt_fast.layer_head_tail(config.layer_name, config.extent)
+    return mvt_fast.wrap_layer(head, msgs, tail)
+
+
 SHARD_ENTRIES_SCHEMA = StructType(
     [
         StructField("tile_id", LongType(), False),

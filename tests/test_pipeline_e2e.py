@@ -237,3 +237,20 @@ def test_convert_sharded_byte_identical(spark, docs_table, tmp_path):
     assert s1["unique_blobs"] == s2["unique_blobs"]
     with open(p1, "rb") as f1, open(p2, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_encode_single_tile_matches_pipeline(spark, docs_table, small_config):
+    """generate_single_tile analog: encoding one (z, x, y) driver-side must
+    produce the same MVT bytes as the distributed pipeline's tile."""
+    from gpq_tiles_spark.pipeline import encode_single_tile
+
+    feats_df = extract_features(spark.read.parquet(docs_table))
+    tiles = encode_tiles(
+        fanout_records(feats_df, small_config), small_config
+    ).collect()
+    # pick a mid-zoom tile with several features
+    cand = [t for t in tiles if t.z == 6 and t.n_features >= 2]
+    target = cand[0] if cand else tiles[len(tiles) // 2]
+    feats = [(r.feature_id, bytes(r.wkb)) for r in feats_df.collect()]
+    single = encode_single_tile(feats, target.z, target.x, target.y, small_config)
+    assert single == bytes(target.mvt)
