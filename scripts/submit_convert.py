@@ -22,11 +22,18 @@ def main() -> None:
     p.add_argument("--min-zoom", type=int, default=0)
     p.add_argument("--max-zoom", type=int, default=14)
     p.add_argument("--layer-name", default="features")
-    p.add_argument("--compression", default="gzip", choices=["gzip", "none"])
+    p.add_argument("--compression", default="gzip",
+                   choices=["gzip", "none", "zstd", "brotli"],
+                   help="zstd/brotli require the lib installed (import-gated)")
     p.add_argument("--salted", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="executor-written shard files + driver concat "
+                        "(byte-identical archive; parallel compression)")
     p.add_argument("--geoparquet", action="store_true")
     p.add_argument("--work-dir", default=None, help="enable checkpoint/resume")
     p.add_argument("--feature-id-mode", default="hash", choices=["hash", "rownum"])
+    p.add_argument("--progress", action="store_true",
+                   help="print phase start/progress/complete events")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,9 +67,20 @@ def main() -> None:
         feats = extract_features(spark.read.parquet(args.input),
                                  feature_id_mode=args.feature_id_mode)
 
-    from gpq_tiles_spark.pipeline import convert
+    if args.sharded:
+        from gpq_tiles_spark.pipeline import convert_sharded
 
-    stats = convert(feats, args.output, cfg)
+        stats = convert_sharded(feats, args.output, cfg)
+    else:
+        from gpq_tiles_spark.pipeline import convert
+
+        progress = None
+        if args.progress:
+            def progress(ev):  # noqa: ANN001 - ProgressEvent
+                print(f"[{ev.phase}] {ev.kind} {ev.info}")
+
+        stats = convert(feats, args.output, cfg, salted=args.salted,
+                        progress=progress)
     print(stats)
 
 
