@@ -111,19 +111,33 @@ def encode_partial_runs(run_key: np.ndarray, tid: np.ndarray,
     is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
         wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
     p1_idx = np.full(n, -1, dtype=np.int64)
+    p1_buf = b""
+    p1_boff = p1_blen = None
     if is_p1.any():
         p1_rows = np.flatnonzero(is_p1)
         p1_idx[p1_rows] = np.arange(len(p1_rows))
         p1_buf, p1_boff, p1_blen = _batch_geom_fields(
             p1_start, p1_npts, p1_rows, p1_inter, "poly")
     ls_idx = np.full(n, -1, dtype=np.int64)
+    ls_buf = b""
+    ls_boff = ls_blen = None
     if is_ls.any():
         ls_rows = np.flatnonzero(is_ls)
         ls_idx[ls_rows] = np.arange(len(ls_rows))
         ls_buf, ls_boff, ls_blen = _batch_geom_fields(
             ls_start, ls_npts, ls_rows, ls_inter, "line")
-    zzx = ((px << 1) ^ (px >> 63)) & 0xFFFFFFFF
-    zzy = ((py << 1) ^ (py >> 63)) & 0xFFFFFFFF
+    zzx = (((px << 1) ^ (px >> 63)) & 0xFFFFFFFF).astype(np.uint64)
+    zzy = (((py << 1) ^ (py >> 63)) & 0xFFFFFFFF).astype(np.uint64)
+
+    # shared vectorized assembly; phase A stores UNFRAMED messages (the
+    # phase-B merge adds the 0x12 frames), so slice [msg_start : +msg_len]
+    buf, _rec_off, msg_start, msg_len, live = _assemble_feature_messages(
+        n, fid, wkbs, lens, gidx, lng0, lat0, lng1, lat1, extent, buffer_px,
+        is_pt, zzx, zzy,
+        is_p1, p1_idx, p1_buf, p1_boff, p1_blen,
+        is_ls, ls_idx, ls_buf, ls_boff, ls_blen,
+    )
+    buf_bytes = buf.tobytes()
     fid_l = fid.tolist()
     out_fids: list[list[int]] = []
     out_msgs: list[list[bytes]] = []
@@ -131,36 +145,11 @@ def encode_partial_runs(run_key: np.ndarray, tid: np.ndarray,
         s, e = starts[gi], ends[gi]
         fids_g: list[int] = []
         msgs_g: list[bytes] = []
-        b0, a0, b1, a1 = lng0[gi], lat0[gi], lng1[gi], lat1[gi]
-        rect_tail: bytes | None = None
         for i in range(s, e):
-            if lens[i] == 0:  # canonical interior rect marker
-                if rect_tail is None:
-                    rect_tail = _canonical_rect_msg_tail(
-                        b0, a0, b1, a1, extent, buffer_px)
-                fmsg = b"\x08" + _varint(fid_l[i]) + rect_tail
-            elif is_pt[i]:
-                fmsg = _point_feature_bytes(fid_l[i], int(zzx[i]), int(zzy[i]))
-            elif is_p1[i]:
-                j = p1_idx[i]
-                o = p1_boff[j]
-                fmsg = (b"\x08" + _varint(fid_l[i]) + b"\x18\x03\x22"
-                        + _varint(int(p1_blen[j]))
-                        + p1_buf[o : o + p1_blen[j]])
-            elif is_ls[i]:
-                j = ls_idx[i]
-                o = ls_boff[j]
-                fmsg = (b"\x08" + _varint(fid_l[i]) + b"\x18\x02\x22"
-                        + _varint(int(ls_blen[j]))
-                        + ls_buf[o : o + ls_blen[j]])
-            else:
-                g = G.from_wkb(bytes(wkbs[i]))
-                cmds, gtype = M.encode_geometry(g, b0, a0, b1, a1, extent)
-                if not cmds and gtype == M.GEOM_UNKNOWN:
-                    continue
-                fmsg = M.encode_feature(fid_l[i], [], gtype, cmds)
+            if not live[i]:
+                continue
             fids_g.append(fid_l[i])
-            msgs_g.append(fmsg)
+            msgs_g.append(buf_bytes[msg_start[i]:msg_start[i] + msg_len[i]])
         out_fids.append(fids_g)
         out_msgs.append(msgs_g)
     return {
@@ -483,10 +472,54 @@ def encode_sorted_runs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
     layer_head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
     layer_tail = b"\x28" + _varint(extent) + b"\x78\x02"  # extent(5), version(15)=2
 
-    # ---- fully vectorized message assembly: every record's framed feature
-    # message ([0x12][varint(len)][0x08][varint(fid)][type+geometry]) is laid
-    # out into ONE uint8 buffer with computed offsets — zero per-record
-    # Python in the hot path; byte-identical to the per-record concat.
+    buf, rec_off, msg_start, msg_len, live = _assemble_feature_messages(
+        n, fid, wkbs, lens, gidx, lng0, lat0, lng1, lat1, extent, buffer_px,
+        is_pt, zzx, zzy,
+        is_p1, p1_idx,
+        p1_buf if is_p1.any() else b"", p1_boff if is_p1.any() else None,
+        p1_blen if is_p1.any() else None,
+        is_ls, ls_idx,
+        ls_buf if is_ls.any() else b"", ls_boff if is_ls.any() else None,
+        ls_blen if is_ls.any() else None,
+    )
+
+    # ---- per-tile layer wrap: head + contiguous record bytes + tail
+    out_mvt: list[bytes] = []
+    out_hash: list[int] = []
+    buf_bytes = buf.tobytes()
+    for gi in range(n_groups):
+        body = buf_bytes[rec_off[starts[gi]]:rec_off[ends[gi]]]
+        layer = layer_head + body + layer_tail
+        mvt = b"\x1a" + _varint(len(layer)) + layer
+        out_mvt.append(mvt)
+        out_hash.append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+
+    return {
+        "tile_id": g_tid,
+        "z": g_z.astype(np.int32),
+        "x": g_x,
+        "y": g_y,
+        "n_features": sizes.astype(np.int64),
+        "mvt": out_mvt,
+        "content_hash": np.array(out_hash, dtype=np.int64),
+    }
+
+
+def _assemble_feature_messages(n, fid, wkbs, lens, gidx,
+                               lng0, lat0, lng1, lat1, extent, buffer_px,
+                               is_pt, zzx, zzy,
+                               is_p1, p1_idx, p1_buf, p1_boff, p1_blen,
+                               is_ls, ls_idx, ls_buf, ls_boff, ls_blen):
+    """Fully vectorized message assembly: every record's FRAMED feature
+    message ([0x12][varint(len)][0x08][varint(fid)][type+geometry]) laid out
+    into ONE uint8 buffer with computed offsets — zero per-record Python in
+    the hot path; byte-identical to the per-record concat. Shared by the
+    single-phase encoder (slices whole-tile record ranges) and the salted
+    phase-A encoder (slices per-record UNFRAMED messages at
+    [msg_start : msg_start+msg_len]).
+
+    Returns (buf uint8, rec_off (n+1,), msg_start (n,), msg_len (n,), live).
+    """
     CAT_RECT, CAT_PT, CAT_P1, CAT_LS, CAT_EXACT = 0, 1, 2, 3, 4
     cat = np.full(n, CAT_EXACT, dtype=np.int64)
     cat[is_ls] = CAT_LS
@@ -617,23 +650,4 @@ def encode_sorted_runs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
     for i, fm in exact_msgs.items():
         buf[msg_start[i]:msg_start[i] + len(fm)] = np.frombuffer(fm, dtype=np.uint8)
 
-    # ---- per-tile layer wrap: head + contiguous record bytes + tail
-    out_mvt: list[bytes] = []
-    out_hash: list[int] = []
-    buf_bytes = buf.tobytes()
-    for gi in range(n_groups):
-        body = buf_bytes[rec_off[starts[gi]]:rec_off[ends[gi]]]
-        layer = layer_head + body + layer_tail
-        mvt = b"\x1a" + _varint(len(layer)) + layer
-        out_mvt.append(mvt)
-        out_hash.append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
-
-    return {
-        "tile_id": g_tid,
-        "z": g_z.astype(np.int32),
-        "x": g_x,
-        "y": g_y,
-        "n_features": sizes.astype(np.int64),
-        "mvt": out_mvt,
-        "content_hash": np.array(out_hash, dtype=np.int64),
-    }
+    return buf, rec_off, msg_start, msg_len, live
