@@ -240,3 +240,36 @@ def test_embedding_near_duplicates_lsh_matches_bruteforce(spark, vec_df):
     assert (0, 1) in exact          # the planted near-identical pair
     assert approx <= exact          # LSH never invents pairs (exact verify)
     assert (0, 1) in approx         # and finds the twin
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: on a clustered corpus the coarse quantizer separates the
+    clusters, so nprobe-bounded search recovers the true top-k."""
+    import numpy as np
+
+    from gpq_tiles_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    vecs = np.concatenate([
+        c + rng.standard_normal((40, 16)) * 0.3 for c in centers
+    ])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = train_ivf_centroids(df, dim=16, n_centroids=8, sample=320, seed=1)
+    probes = df.where("vec_id IN (0, 45, 170, 300)")
+    exact = {}
+    for r in cosine_topk_bruteforce(df, probes, k=5).collect():
+        exact.setdefault(r.probe_id, set()).add(r.vec_id)
+    approx = {}
+    for r in cosine_topk_ivf(df, probes, k=5, centroids=cents, nprobe=3).collect():
+        approx.setdefault(r.probe_id, set()).add(r.vec_id)
+    recall = sum(len(exact[p] & approx.get(p, set())) for p in exact) / sum(
+        len(v) for v in exact.values())
+    assert recall >= 0.9, recall
