@@ -186,6 +186,16 @@ def _sql_dedup_exact() -> str:
     """
 
 
+def _sql_dedup_assignments() -> str:
+    # list-free per-doc dedup verdict (the 10^12-doc primitive): window min
+    return """
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        FROM documents
+    """
+
+
 def _sql_token_counts() -> str:
     # north-star token counting (whitespace tokens, exact integer arithmetic)
     # CAST(SUM .. AS BIGINT): DuckDB sums ints into HUGEINT (int128) while
@@ -350,10 +360,12 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpq_tiles_spark.operators.dedup import minhash_near_duplicates
 
     _register(spark, sf_dir)
-    # scalar columns only (the driver canonicalizer cannot hash array cells)
+    # scalar columns only (the driver canonicalizer cannot hash array cells);
+    # max_bucket=None: the cap's count prefilter costs a second signature
+    # pass, pointless on the bounded test corpora
     return minhash_near_duplicates(
         spark.table("documents"), text_col="text",
-        id_col="doc_id", num_perm=32, bands=8,
+        id_col="doc_id", num_perm=32, bands=8, max_bucket=None,
     ).select("band", "bucket", "n_docs")
 
 
@@ -395,6 +407,16 @@ def _sql_knn_distributed() -> str:
         ) t
         WHERE rnk <= 5
     """
+
+
+def _q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-free exact-dedup assignment operator vs the window-min SQL."""
+    from gpq_tiles_spark.operators.dedup import duplicate_assignments
+
+    _register(spark, sf_dir)
+    return duplicate_assignments(spark.table("documents")).select(
+        "doc_id", "keeper", "is_duplicate"
+    )
 
 
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tile_records_z8"] = _q_tile_records_z8
     out["knn_distributed"] = _q_knn_distributed
     out["emb_neardup_pairs"] = _q_emb_neardup
+    out["dedup_assignments"] = _q_dedup_assignments
     return out
 
 
@@ -575,4 +598,5 @@ def oracle_sql() -> dict[str, str]:
     out["tile_records_z8"] = _sql_tile_assign_z8()
     out["knn_distributed"] = _sql_knn_distributed()
     out["emb_neardup_pairs"] = _sql_emb_neardup("duckdb")
+    out["dedup_assignments"] = _sql_dedup_assignments()
     return out

@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -44,6 +44,25 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
             F.sort_array(F.collect_list("doc_id")).alias("all_ids"),
         )
         .where(F.col("n_copies") > 1)
+    )
+
+
+def duplicate_assignments(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-doc dedup verdict WITHOUT any list aggregation: (doc_id,
+    content_hash, keeper, is_duplicate). The keeper is the min doc_id of the
+    content group (a window min — map-side combinable, no collect_list
+    buffering), so this is the primitive a 10^12-doc pipeline actually
+    applies: ``.where(~is_duplicate)``. ``exact_duplicates`` (group report
+    with id lists) remains for small-scale inspection."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("keeper"))
     )
 
 
@@ -222,12 +241,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 5,
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42,
+                            max_bucket: int | None = 100_000) -> DataFrame:
     """LSH banding: docs sharing any band bucket are candidate near-dups.
 
     Returns (band, bucket_hash, n_docs, doc_ids) for buckets with >= 2 docs.
     The join key is the (band, hash-of-rows) pair; signature arrays never
-    shuffle beyond the initial banding projection.
+    shuffle beyond the initial banding projection. ``max_bucket`` bounds the
+    collect_list buffering: buckets above the cap (a boilerplate-dominated
+    corpus where one signature covers millions of docs) are dropped via a
+    count prefilter BEFORE any list aggregation, so no reduce task ever
+    materializes an unbounded id list.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
@@ -240,6 +264,13 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     exploded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        hot = (
+            exploded.groupBy("band", "bucket").count()
+            .where(F.col("count") > max_bucket)
+            .select("band", "bucket")
+        )
+        exploded = exploded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     return (
         exploded.groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"),

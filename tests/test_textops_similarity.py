@@ -273,3 +273,26 @@ def test_ivf_topk_recall(spark):
     recall = sum(len(exact[p] & approx.get(p, set())) for p in exact) / sum(
         len(v) for v in exact.values())
     assert recall >= 0.9, recall
+
+
+def test_duplicate_assignments_listfree(spark, text_df):
+    from gpq_tiles_spark.operators.dedup import duplicate_assignments
+
+    out = {r.doc_id: (r.keeper, r.is_duplicate)
+           for r in duplicate_assignments(text_df).collect()}
+    assert out["d0"] == ("d0", False)
+    assert out["d1"] == ("d0", True)   # exact dup points at the keeper
+    assert out["d2"][1] is False       # near dup is NOT an exact dup
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A boilerplate corpus where one signature covers every doc: with the
+    cap the bucket is dropped before any list aggregation."""
+    from gpq_tiles_spark.operators.dedup import minhash_near_duplicates
+
+    rows = [(f"d{i}", "identical boilerplate text everywhere") for i in range(30)]
+    df = spark.createDataFrame(rows, schema="doc_id string, text string")
+    capped = minhash_near_duplicates(df, num_perm=16, bands=4, max_bucket=10).collect()
+    assert capped == []
+    full = minhash_near_duplicates(df, num_perm=16, bands=4, max_bucket=None).collect()
+    assert any(r.n_docs == 30 for r in full)
