@@ -133,3 +133,30 @@ def test_knn_distributed_matches_bruteforce(spark):
         assert sorted(got[pid]) == [(i + 1, int(order[i])) for i in range(k)], pid
     # each probe appears exactly once per rank (no duplicate rounds leaked)
     assert all(len(v) == k for v in got.values())
+
+
+def test_knn_distributed_empty_probes(spark):
+    from gpq_tiles_spark.operators.joins import knn_join_distributed
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 1.0)], schema="point_id long, lng double, lat double")
+    probes = spark.createDataFrame([], schema="probe_id long, lng double, lat double")
+    assert knn_join_distributed(pts, probes, k=3, zoom=4).count() == 0
+
+
+def test_pip_auto_zoom_small_zones(spark):
+    """auto zoom picks a fine grid for tiny zones (no candidate blowup)."""
+    import numpy as np
+
+    from gpq_tiles_spark.kernels import geom as G
+    from gpq_tiles_spark.operators.joins import auto_cover_zoom
+
+    rows = []
+    for i in range(20):
+        x, y = i * 1.0 - 10, 40.0
+        ring = np.array([[x, y], [x + 0.05, y], [x + 0.05, y + 0.05],
+                         [x, y + 0.05], [x, y]])
+        rows.append((f"z{i}", G.to_wkb((G.POLYGON, [ring]))))
+    zones = spark.createDataFrame(rows, schema="zone_id string, zone_wkb binary")
+    z = auto_cover_zoom(zones)
+    assert z >= 11  # 0.05-degree zones -> ~0.09-degree cells or finer

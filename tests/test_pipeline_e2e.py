@@ -254,3 +254,19 @@ def test_encode_single_tile_matches_pipeline(spark, docs_table, small_config):
     feats = [(r.feature_id, bytes(r.wkb)) for r in feats_df.collect()]
     single = encode_single_tile(feats, target.z, target.x, target.y, small_config)
     assert single == bytes(target.mvt)
+
+
+def test_convert_sharded_empty_input(spark, tmp_path):
+    """Empty features -> valid, empty archive via the sharded sink too."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import FEATURES_SCHEMA
+    from gpq_tiles_spark.kernels.pmtiles import PMTilesReader
+    from gpq_tiles_spark.pipeline import convert_sharded
+
+    feats = spark.createDataFrame([], schema=FEATURES_SCHEMA)
+    out = str(tmp_path / "empty_sharded.pmtiles")
+    stats = convert_sharded(feats, out, TilerConfig(min_zoom=0, max_zoom=3,
+                                                    shuffle_partitions=2))
+    assert stats["tiles"] == 0
+    rd = PMTilesReader(out)
+    assert rd.header.addressed_tiles_count == 0
