@@ -71,3 +71,46 @@ def test_broadcast_join_in_top_revenue(spark):
     plan = _plan(df)
     # AQE or static planning should broadcast the customer/orders dims
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_dedup_assignments_no_list_agg(spark):
+    """The scale dedup primitive is a pure window over a hash projection —
+    no collect_list / ObjectHashAggregate buffering anywhere in the plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dedup_assignments"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "collect_list" not in plan and "ObjectHashAggregate" not in plan
+    assert "Window" in plan
+
+
+def test_emb_neardup_lsh_candidates_shuffle_ids_only(spark, tmp_path):
+    """The LSH near-dup candidate join must never shuffle embeddings: the
+    exchange under the (table, bucket) join carries only id/bucket columns."""
+    import re
+
+    import numpy as np
+
+    from gpq_tiles_spark.operators.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = embedding_near_duplicates(df, threshold=0.9, use_lsh=True, dim=8)
+    plan = _plan(out)
+    # hyperplane signature output schema: (vec_id, table, bucket) — assert
+    # the candidate-generation exchanges hash on bucket keys, not vectors
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1)
+
+
+def test_knn_distributed_no_cartesian(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["knn_distributed"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # cell equi-join only
