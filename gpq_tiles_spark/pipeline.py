@@ -298,7 +298,51 @@ def _grid_boundary_wkbs(strips_per_col: list, gtype: int,
                         t0: np.ndarray, t1: np.ndarray,
                         a0: np.ndarray, a1: np.ndarray,
                         buf_arr: np.ndarray,
-                        extent: int) -> list:
+                        extent: int,
+                        max_batch_pts: int = 4_000_000) -> list:
+    """Chunking wrapper: bounds the (tile x ring) replication buffer of
+    ``_grid_boundary_wkbs_chunk`` so a monster feature at deep zoom (100k+
+    boundary tiles x long strips) cannot blow executor memory — columns are
+    processed in groups whose replicated vertex count stays under
+    ``max_batch_pts``."""
+    n_cols = len(col_starts)
+    if n_cols == 0:
+        return []
+    strip_cost = np.array(
+        [sum(len(r) for part in strips for r in part) for strips in strips_per_col],
+        dtype=np.int64,
+    )
+    repl = strip_cost * (col_ends - col_starts)
+    if int(repl.sum()) <= max_batch_pts:
+        return _grid_boundary_wkbs_chunk(
+            strips_per_col, gtype, col_starts, col_ends, t0, t1, a0, a1,
+            buf_arr, extent)
+    out: list = [None] * int(col_ends[-1] - col_starts[0])
+    base0 = int(col_starts[0])
+    i = 0
+    while i < n_cols:
+        j = i + 1
+        acc = int(repl[i])
+        while j < n_cols and acc + int(repl[j]) <= max_batch_pts:
+            acc += int(repl[j])
+            j += 1
+        ws = _grid_boundary_wkbs_chunk(
+            strips_per_col[i:j], gtype, col_starts[i:j], col_ends[i:j],
+            t0, t1, a0, a1, buf_arr, extent)
+        off = int(col_starts[i]) - base0
+        for k, w in enumerate(ws):
+            if w is not None:
+                out[off + k] = w
+        i = j
+    return out
+
+
+def _grid_boundary_wkbs_chunk(strips_per_col: list, gtype: int,
+                              col_starts: np.ndarray, col_ends: np.ndarray,
+                              t0: np.ndarray, t1: np.ndarray,
+                              a0: np.ndarray, a1: np.ndarray,
+                              buf_arr: np.ndarray,
+                              extent: int) -> list:
     """Fused boundary-tile finisher for the grid regime: B/T clip + re-close
     + validate + tiny-polygon drop + WKB for EVERY boundary tile of a
     (feature, zoom, x-range) in ONE set of segmented numpy passes.
@@ -312,7 +356,10 @@ def _grid_boundary_wkbs(strips_per_col: list, gtype: int,
     """
     from .kernels.validate import MIN_POLYGON_AREA
 
-    n_tiles_total = int(col_ends[-1]) if len(col_ends) else 0
+    # local tile indexing relative to the first column's first tile, so the
+    # chunking wrapper can offset results
+    base = int(col_starts[0]) if len(col_starts) else 0
+    n_tiles_total = (int(col_ends[-1]) - base) if len(col_ends) else 0
     out: list = [None] * n_tiles_total
 
     # ---- base ring structure per column
@@ -348,7 +395,8 @@ def _grid_boundary_wkbs(strips_per_col: list, gtype: int,
         gather_chunks.append(np.tile(np.arange(vb_s, vb_e, dtype=np.int64), ct))
         size_chunks.append(np.tile(base_sizes[rb_s:rb_e], ct))
         ext_chunks.append(np.tile(base_ext_a[rb_s:rb_e], ct))
-        tile_chunks.append(np.repeat(np.arange(cs, ce, dtype=np.int64), rb_e - rb_s))
+        tile_chunks.append(
+            np.repeat(np.arange(cs - base, ce - base, dtype=np.int64), rb_e - rb_s))
     pts = base_pts[np.concatenate(gather_chunks)]
     sizes = np.concatenate(size_chunks)
     is_ext = np.concatenate(ext_chunks)
@@ -358,8 +406,8 @@ def _grid_boundary_wkbs(strips_per_col: list, gtype: int,
     np.cumsum(sizes, out=offs[1:])
 
     # ---- segmented B/T clip + close, bands per tile (buffered)
-    b_lo = (a0 - buf_arr)[tile_of_ring]
-    b_hi = (a1 + buf_arr)[tile_of_ring]
+    b_lo = (a0 - buf_arr)[tile_of_ring + base]
+    b_hi = (a1 + buf_arr)[tile_of_ring + base]
     p1, o1 = CK.clip_edge_segmented(pts, offs, 1, b_lo, True)
     p2, o2 = CK.clip_edge_segmented(p1, o1, 1, b_hi, False)
     p3, o3 = CK.close_rings_segmented(p2, o2)
@@ -399,7 +447,7 @@ def _grid_boundary_wkbs(strips_per_col: list, gtype: int,
 
     # ---- tiny-polygon drop (feature_drop.rs:129-293): px^2 area via the
     # same per-vertex transform, SipHash only for the rare marginal parts
-    tile_of_v = tile_of_ring[ring_of_v]
+    tile_of_v = tile_of_ring[ring_of_v] + base
     lng0v = t0[tile_of_v]
     wv = t1[tile_of_v] - lng0v
     lat0v = a0[tile_of_v]

@@ -161,3 +161,47 @@ def test_batched_clip_paths_byte_identical():
             assert (batch[t] is None) == (ref is None)
             if ref is not None:
                 assert G.to_wkb(batch[t]) == G.to_wkb(ref)
+
+
+def test_grid_boundary_chunking_byte_identical():
+    """The memory-bounding column-chunk wrapper must not change output:
+    forcing a tiny replication budget yields identical per-tile WKBs."""
+    import numpy as np
+
+    from gpq_tiles_spark.kernels import clip as CK
+    from gpq_tiles_spark.kernels import tile_math as T
+    from gpq_tiles_spark.pipeline import _grid_boundary_wkbs
+
+    rng = np.random.default_rng(8)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 60))
+    ring = np.stack([np.cos(ang) * 30, np.sin(ang) * 20], 1) + [0, 30]
+    ring = np.vstack([ring, ring[:1]])
+    g = (3, [ring])  # POLYGON spanning many z6 tiles
+    z = 6
+    x0, y0, x1, y1 = ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max()
+    xs0, _ = T.lng_lat_to_tile_xy(np.array([x0]), np.array([0.0]), z)
+    xs1, _ = T.lng_lat_to_tile_xy(np.array([x1]), np.array([0.0]), z)
+    _, yt = T.lng_lat_to_tile_xy(np.array([x0]), np.array([y1]), z)
+    _, yb = T.lng_lat_to_tile_xy(np.array([x0]), np.array([y0]), z)
+    bx, by = [], []
+    for xx in range(int(xs0[0]), int(xs1[0]) + 1):
+        for yy in range(int(yt[0]), int(yb[0]) + 1):
+            bx.append(xx)
+            by.append(yy)
+    bx = np.array(bx); by = np.array(by)
+    order = np.lexsort((by, bx))
+    bx, by = bx[order], by[order]
+    t0, a0, t1, a1 = T.tile_bounds(bx.astype(float), by.astype(float), z)
+    buf = (t1 - t0) * 8 / 4096
+    col_starts = np.flatnonzero(np.concatenate(([True], bx[1:] != bx[:-1])))
+    col_ends = np.append(col_starts[1:], len(bx))
+    strips = CK.polygon_columns_strips_batch(
+        g, t0[col_starts] - buf[col_starts], t1[col_starts] + buf[col_starts])
+    full = _grid_boundary_wkbs(strips, 3, col_starts, col_ends,
+                               t0, t1, a0, a1, buf, 4096)
+    tiny = _grid_boundary_wkbs(strips, 3, col_starts, col_ends,
+                               t0, t1, a0, a1, buf, 4096, max_batch_pts=500)
+    assert len(full) == len(tiny)
+    assert all((x is None) == (y is None) and (x == y or x is None)
+               for x, y in zip(full, tiny))
+    assert sum(1 for x in full if x is not None) > 10
