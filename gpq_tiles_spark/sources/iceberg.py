@@ -39,6 +39,25 @@ def read_documents(spark: SparkSession, table: str,
     return reader.load(table).select("doc_id", "spans")
 
 
+def read_appended_documents(spark: SparkSession, table: str,
+                            from_snapshot: int,
+                            to_snapshot: int | None = None) -> DataFrame:
+    """Incremental append scan between two snapshots — the snapshot-to-
+    snapshot resume primitive: a checkpointed run that completed at
+    ``from_snapshot`` tiles ONLY the documents appended since, and the
+    incremental tile records merge into the existing archive through the
+    same range shuffle (tile_id order is stable across runs)."""
+    if not iceberg_available(spark):  # pragma: no cover - env-dependent
+        raise RuntimeError("Iceberg runtime not on the classpath")
+    reader = (
+        spark.read.format("iceberg")
+        .option("start-snapshot-id", str(from_snapshot))
+    )
+    if to_snapshot is not None:
+        reader = reader.option("end-snapshot-id", str(to_snapshot))
+    return reader.load(table).select("doc_id", "spans")
+
+
 def snapshots(spark: SparkSession, table: str) -> list[dict]:
     """Snapshot history for checkpoint keying (newest first)."""
     if not iceberg_available(spark):  # pragma: no cover
