@@ -75,8 +75,9 @@ def _record_area(rec, zz, xx, yy, cfg):
     """Unsigned area of one record's geometry in degrees^2; empty-WKB
     markers are canonical interior rects (buffered tile bounds)."""
     if len(rec.wkb) == 0:
-        x0, y0, x1, y1 = (float(v[()] if hasattr(v, "shape") else v)
-                          for v in T.tile_bounds(np.array([xx]), np.array([yy]), int(zz)))
+        x0, y0, x1, y1 = (
+            float(v[0]) for v in T.tile_bounds(np.array([xx]), np.array([yy]), int(zz))
+        )
         buf = (x1 - x0) * cfg.buffer_pixels / cfg.extent
         return (x1 - x0 + 2 * buf) * (y1 - y0 + 2 * buf)
     g = G.from_wkb(bytes(rec.wkb))
@@ -107,7 +108,8 @@ def test_area_preservation_at_base_zoom(pyramid):
                 np.array([(r.lat_min + r.lat_max) / 2]), BASE_Z)
             tx0, ty0, tx1, ty1 = T.tile_bounds(
                 xs.astype(np.float64), ys.astype(np.float64), BASE_Z)
-            a_px = a * (cfg.extent / float(tx1 - tx0)) * (cfg.extent / float(ty1 - ty0))
+            a_px = a * (cfg.extent / float(tx1[0] - tx0[0])) * (
+                cfg.extent / float(ty1[0] - ty0[0]))
             if a > 1e-9 and a_px >= 4 * DK.TINY_POLYGON_THRESHOLD:
                 orig[r.feature_id] = a
     clipped = {}
