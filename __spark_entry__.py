@@ -377,10 +377,15 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
 
+    from pyspark import StorageLevel
+
     _register(spark, sf_dir)
     feats = _event_features(spark)
     cfg = TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=8)
-    tiles = encode_tiles(fanout_records(feats, cfg), cfg)
+    # persist: the range-partition sampling job would otherwise re-run the
+    # fan-out (session-lifetime cache, bounded: one small records set)
+    records = fanout_records(feats, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    tiles = encode_tiles(records, cfg)
     return tiles.select("tile_id", "z", "x", "y", "n_features")
 
 
@@ -466,10 +471,13 @@ def _q_tile_records_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
 
+    from pyspark import StorageLevel
+
     _register(spark, sf_dir)
     feats = _event_features(spark)
     cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
-    tiles = encode_tiles(fanout_records(feats, cfg), cfg)
+    records = fanout_records(feats, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    tiles = encode_tiles(records, cfg)
     return tiles.select(
         F.col("x").alias("tx"),
         F.col("y").alias("ty"),
