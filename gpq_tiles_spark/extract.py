@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from .kernels import geom as G
-from .kernels.hashes import fmix64, xxh64
+from .kernels.hashes import fmix64_scalar, xxh64
 
 FEATURES_SCHEMA = StructType(
     [
@@ -57,8 +57,7 @@ def _hash_feature_id(doc_id: str, offset: int, part: int = 0) -> int:
     h = xxh64(doc_id.encode("utf-8")) ^ (offset & 0xFFFF_FFFF_FFFF_FFFF)
     if part:
         h ^= (part * 0x9E3779B97F4A7C15) & 0xFFFF_FFFF_FFFF_FFFF
-    v = int(fmix64(np.uint64(h))[()])
-    return v & 0x7FFF_FFFF_FFFF_FFFF  # keep in Spark LongType range
+    return fmix64_scalar(h) & 0x7FFF_FFFF_FFFF_FFFF  # Spark LongType range
 
 
 def _span_field(span, name: str):

@@ -32,6 +32,18 @@ def fmix64(x) -> np.ndarray:
     return x
 
 
+def fmix64_scalar(x: int) -> int:
+    """Scalar Murmur3 fmix64 — bit-identical to ``fmix64`` on one value,
+    without the numpy errstate/array overhead (hot in per-row id hashing)."""
+    x &= _M64
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & _M64
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & _M64
+    x ^= x >> 33
+    return x
+
+
 def _rotl(v: int, b: int) -> int:
     return ((v << b) | (v >> (64 - b))) & _M64
 
