@@ -195,3 +195,21 @@ def test_checkpoint_resume(spark, docs_table, tmp_path):
     assert os.path.exists(out)
     # stage outputs were reused (same row counts, marked done)
     assert m3["stages"]["records"]["rows"] == m1["stages"]["records"]["rows"]
+
+
+def test_checkpointed_equals_plain_convert(spark, docs_table, tmp_path):
+    """Checkpointed (staged, resumable) conversion must produce the same
+    archive bytes as the direct pipeline — the reference's streaming-vs-
+    nonstreaming equivalence (pipeline.rs:2065-2143) analog."""
+    from gpq_tiles_spark.checkpoint import convert_with_checkpoints
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import convert
+
+    cfg = TilerConfig(min_zoom=0, max_zoom=6, shuffle_partitions=4)
+    p1 = str(tmp_path / "plain.pmtiles")
+    p2 = str(tmp_path / "ckpt.pmtiles")
+    convert(extract_features(spark.read.parquet(docs_table)), p1, cfg)
+    convert_with_checkpoints(spark, docs_table, p2, str(tmp_path / "wd"), cfg)
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
