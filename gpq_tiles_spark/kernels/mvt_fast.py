@@ -105,11 +105,13 @@ def encode_partial_runs(run_key: np.ndarray, tid: np.ndarray,
     sizes = ends - starts
     gidx = np.repeat(np.arange(len(starts)), sizes)
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
-    is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
+    buf8, woffs, wkb_cat = _concat_wkbs(wkbs, lens)
+    is_pt, px, py = _bulk_points(buf8, woffs, lens, gidx,
+                                 lng0, lat0, lng1, lat1, extent, wkb_cat)
     is_p1, p1_start, p1_npts, p1_inter = _bulk_poly1(
-        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+        buf8, woffs, wkb_cat, gidx, lens, lng0, lat0, lng1, lat1, extent)
     is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
-        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+        buf8, woffs, wkb_cat, gidx, lens, lng0, lat0, lng1, lat1, extent)
     p1_idx = np.full(n, -1, dtype=np.int64)
     p1_buf = b""
     p1_boff = p1_blen = None
@@ -163,17 +165,29 @@ def encode_partial_runs(run_key: np.ndarray, tid: np.ndarray,
     }
 
 
-def _bulk_points(wkbs: np.ndarray, gidx: np.ndarray, lng0, lat0, lng1, lat1,
-                 extent: int):
+def _concat_wkbs(wkbs: np.ndarray, lens: np.ndarray):
+    """One concatenated buffer over all record WKBs + per-record offsets —
+    the bulk decoders slice payloads and gather headers from this instead of
+    re-joining bytes per category (one pass over the bytes total)."""
+    cat = b"".join(wkbs)
+    buf8 = np.frombuffer(cat, dtype=np.uint8)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return buf8, offs, cat
+
+
+def _bulk_points(buf8: np.ndarray, woffs: np.ndarray, lens: np.ndarray,
+                 gidx: np.ndarray, lng0, lat0, lng1, lat1,
+                 extent: int, wkb_cat: bytes = b""):
     """Shared bulk point decode + quantization; returns (is_pt, px, py)."""
-    n = len(wkbs)
-    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
+    n = len(lens)
     is_pt = lens == 21
     px = np.zeros(n, dtype=np.int64)
     py = np.zeros(n, dtype=np.int64)
     if is_pt.any():
         pt_rows = np.flatnonzero(is_pt)
-        buf = b"".join(wkbs[i] for i in pt_rows)
+        buf = _slice_payload(wkb_cat, woffs[pt_rows],
+                             np.full(len(pt_rows), 21, dtype=np.int64))
         arr = np.frombuffer(buf, dtype=_POINT_DT)
         hdr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 21)
         ok = (hdr[:, 0] == 1) & (hdr[:, 1] == 1) & (hdr[:, 2] == 0)
@@ -191,32 +205,43 @@ def _bulk_points(wkbs: np.ndarray, gidx: np.ndarray, lng0, lat0, lng1, lat1,
     return is_pt, px, py
 
 
+def _slice_payload(wkb_cat: bytes, starts_bytes: np.ndarray,
+                   nbytes: np.ndarray) -> bytes:
+    """Concatenate per-row byte ranges with C-speed slicing (memcpy per row
+    beats per-byte numpy gathers for multi-KB payloads)."""
+    s = starts_bytes.tolist()
+    e = (starts_bytes + nbytes).tolist()
+    return b"".join(wkb_cat[a:b] for a, b in zip(s, e))
+
+
 _LS_HDR = b"\x01\x02\x00\x00\x00"
 
 
-def _bulk_lines(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
+def _bulk_lines(buf8: np.ndarray, woffs: np.ndarray, wkb_cat: bytes,
+                gidx: np.ndarray, lens: np.ndarray,
                 lng0, lat0, lng1, lat1, extent: int):
     """Bulk path for single-part LineStrings: decode all coords in one
     buffer, quantize + delta + zigzag vectorized. Returns (is_ls, per-row
     (start, npts) index arrays, interleaved zigzag array) — command
     assembly slices the shared array per row.
     Byte-identical to kernels.mvt.encode_linestring (cursor starts at 0)."""
-    n = len(wkbs)
+    n = len(lens)
     is_ls = np.zeros(n, dtype=bool)
     cand = np.flatnonzero((lens >= 9 + 32) & ((lens - 9) % 16 == 0))
+    if len(cand) == 0:
+        return is_ls, None, None, None
     # header AND embedded u32 point count must match the length-derived
     # count; a padded/count-mismatched WKB falls back to the exact parser
-    rows = [
-        i for i in cand
-        if bytes(wkbs[i][:5]) == _LS_HDR
-        and int.from_bytes(bytes(wkbs[i][5:9]), "little") == (lens[i] - 9) // 16
-    ]
-    if not rows:
+    hdr = buf8[woffs[cand][:, None] + np.arange(9, dtype=np.int64)[None, :]]
+    want = np.frombuffer(_LS_HDR, dtype=np.uint8)
+    cnt = np.ascontiguousarray(hdr[:, 5:9]).view("<u4")[:, 0].astype(np.int64)
+    ok = np.all(hdr[:, :5] == want[None, :], axis=1) & (cnt == (lens[cand] - 9) // 16)
+    rows = cand[ok]
+    if len(rows) == 0:
         return is_ls, None, None, None
-    rows = np.array(rows, dtype=np.int64)
     is_ls[rows] = True
     npts = ((lens[rows] - 9) // 16).astype(np.int64)
-    payload = b"".join(bytes(wkbs[i])[9:] for i in rows)
+    payload = _slice_payload(wkb_cat, woffs[rows] + 9, lens[rows] - 9)
     coords = np.frombuffer(payload, dtype="<f8").reshape(-1, 2)
     rec = np.repeat(np.arange(len(rows)), npts)
     g = gidx[rows][rec]
@@ -256,7 +281,8 @@ def _line_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
 _P1_HDR = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
 
 
-def _bulk_poly1(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
+def _bulk_poly1(buf8: np.ndarray, woffs: np.ndarray, wkb_cat: bytes,
+                gidx: np.ndarray, lens: np.ndarray,
                 lng0, lat0, lng1, lat1, extent: int):
     """Bulk path for single-ring polygons of any size (canonical interior
     rects, building quads, clipped boundary rings alike).
@@ -267,22 +293,24 @@ def _bulk_poly1(wkbs: np.ndarray, gidx: np.ndarray, lens: np.ndarray,
     where command assembly per row is [MoveTo1, zz0, LineTo(n-2), zz...,
     ClosePath] — byte-identical to kernels.mvt.encode_polygon.
     """
-    n = len(wkbs)
+    n = len(lens)
     is_p1 = np.zeros(n, dtype=bool)
     cand = np.flatnonzero((lens >= 13 + 4 * 16) & ((lens - 13) % 16 == 0))
-    # verify embedded u32 ring point count against the length-derived count
-    rows = [
-        i for i in cand
-        if bytes(wkbs[i][:9]) == _P1_HDR
-        and int.from_bytes(bytes(wkbs[i][9:13]), "little") == (lens[i] - 13) // 16
-    ]
-    if not rows:
+    if len(cand) == 0:
         return is_p1, None, None, None
-    rows = np.array(rows, dtype=np.int64)
+    # verify header + embedded u32 ring point count against the length
+    hdr = buf8[woffs[cand][:, None] + np.arange(13, dtype=np.int64)[None, :]]
+    want = np.frombuffer(_P1_HDR, dtype=np.uint8)
+    cnt = np.ascontiguousarray(hdr[:, 9:13]).view("<u4")[:, 0].astype(np.int64)
+    ok = np.all(hdr[:, :9] == want[None, :], axis=1) & (cnt == (lens[cand] - 13) // 16)
+    rows = cand[ok]
+    if len(rows) == 0:
+        return is_p1, None, None, None
     is_p1[rows] = True
     npts = ((lens[rows] - 13) // 16).astype(np.int64)
-    payload = b"".join(bytes(wkbs[i])[13:] for i in rows)
-    coords = np.frombuffer(payload, dtype="<f8").reshape(-1, 2).copy()
+    coords = np.frombuffer(
+        _slice_payload(wkb_cat, woffs[rows] + 13, lens[rows] - 13),
+        dtype="<f8").reshape(-1, 2).copy()
     starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
     rec = np.repeat(np.arange(len(rows)), npts)
 
@@ -448,11 +476,13 @@ def encode_sorted_runs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
 
     # ---- bulk fast paths: points + 5-pt single-ring polygons ----
     lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
-    is_pt, px, py = _bulk_points(wkbs, gidx, lng0, lat0, lng1, lat1, extent)
+    buf8, woffs, wkb_cat = _concat_wkbs(wkbs, lens)
+    is_pt, px, py = _bulk_points(buf8, woffs, lens, gidx,
+                                 lng0, lat0, lng1, lat1, extent, wkb_cat)
     is_p1, p1_start, p1_npts, p1_inter = _bulk_poly1(
-        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+        buf8, woffs, wkb_cat, gidx, lens, lng0, lat0, lng1, lat1, extent)
     is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
-        wkbs, gidx, lens, lng0, lat0, lng1, lat1, extent)
+        buf8, woffs, wkb_cat, gidx, lens, lng0, lat0, lng1, lat1, extent)
     p1_idx = np.full(n, -1, dtype=np.int64)
     if is_p1.any():
         p1_rows = np.flatnonzero(is_p1)
