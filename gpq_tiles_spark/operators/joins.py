@@ -234,7 +234,7 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
 def knn_join_distributed(points: DataFrame, probes: DataFrame, k: int,
                          point_id: str = "point_id", probe_id: str = "probe_id",
                          zoom: int = 7,
-                         radii: tuple[int, ...] = (1, 4, 16, 64)) -> DataFrame:
+                         radii: tuple[int, ...] = (2, 8, 64)) -> DataFrame:
     """Distributed kNN: probes stay a DataFrame end-to-end (no driver
     materialization — the scale path for millions of probes, vs ``knn_join``
     whose driver loop is right for a handful).

@@ -1036,19 +1036,20 @@ def detect_hot_tiles(features: DataFrame, config: TilerConfig,
     threshold = threshold or config.hot_tile_threshold
     cx = "((lng_min + lng_max) / 2.0)"
     cy = "((lat_min + lat_max) / 2.0)"
-    selects = []
+    # ONE scan: per-row array of (z, x, y) structs exploded, instead of a
+    # per-zoom union that re-reads (and re-extracts) the features once per
+    # zoom level
+    structs = []
     for z in range(config.min_zoom, config.max_zoom + 1):
         n_max = (1 << z) - 1
         xs = f"greatest(least({tile_x_sql(cx, z)}, {n_max}), 0)"
         ys = f"greatest(least({tile_y_sql(cy, z)}, {n_max}), 0)"
-        selects.append(
-            features.selectExpr(f"{z} AS z", f"{xs} AS x", f"{ys} AS y")
-        )
-    union = selects[0]
-    for s in selects[1:]:
-        union = union.unionAll(s)
+        structs.append(f"struct({z} AS z, {xs} AS x, {ys} AS y)")
+    exploded = features.selectExpr(
+        f"explode(array({', '.join(structs)})) AS c"
+    ).select("c.z", "c.x", "c.y")
     hot = (
-        union.groupBy("z", "x", "y").count()
+        exploded.groupBy("z", "x", "y").count()
         .where(F.col("count") > threshold)
         .collect()
     )
