@@ -160,3 +160,33 @@ def test_pip_auto_zoom_small_zones(spark):
     zones = spark.createDataFrame(rows, schema="zone_id string, zone_wkb binary")
     z = auto_cover_zoom(zones)
     assert z >= 11  # 0.05-degree zones -> ~0.09-degree cells or finer
+
+
+def test_pip_non_broadcast_matches_broadcast(spark):
+    """The large-zones path (zones too big to broadcast: wkb joined back per
+    candidate, per-partition geometry cache) must agree exactly with the
+    broadcast path."""
+    import numpy as np
+
+    from gpq_tiles_spark.kernels import geom as G
+    from gpq_tiles_spark.operators.joins import point_in_polygon_join
+
+    rng = np.random.default_rng(21)
+    zones_rows = []
+    for i in range(30):
+        cx, cy = rng.uniform(-50, 50), rng.uniform(-40, 40)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 12))
+        ring = np.stack([cx + np.cos(ang) * 2, cy + np.sin(ang) * 2], 1)
+        ring = np.vstack([ring, ring[:1]])
+        zones_rows.append((f"z{i}", G.to_wkb((G.POLYGON, [ring]))))
+    zones = spark.createDataFrame(zones_rows, schema="zone_id string, zone_wkb binary")
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-55, 55, 3000), rng.uniform(-45, 45, 3000)))],
+        schema="point_id long, lng double, lat double",
+    )
+    a = {(r.point_id, r.zone_id) for r in point_in_polygon_join(
+        pts, zones, broadcast_zones=True).collect()}
+    b = {(r.point_id, r.zone_id) for r in point_in_polygon_join(
+        pts, zones, broadcast_zones=False).collect()}
+    assert a == b and len(a) > 50
