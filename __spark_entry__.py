@@ -414,6 +414,39 @@ def _sql_knn_distributed() -> str:
     """
 
 
+def _sql_raster_z6() -> str:
+    # conservation oracle for T22 rasterize: every point lands in exactly one
+    # grid cell, so per-tile SUM(grid) == the z6 tile assignment counts
+    return f"""
+        SELECT {tile_x_sql(EVENT_LNG, 6)} AS tx,
+               {tile_y_sql(EVENT_LAT, 6)} AS ty,
+               COUNT(*) AS n_points
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+def _q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 rasterize_points through the engine (fan-out -> per-tile 64x64
+    density grid); the oracle checks point conservation per tile."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.operators.raster import rasterize_points
+    from gpq_tiles_spark.pipeline import fanout_records
+
+    _register(spark, sf_dir)
+    feats = _event_features(spark)
+    cfg = TilerConfig(min_zoom=6, max_zoom=6, shuffle_partitions=8)
+    grids = rasterize_points(fanout_records(feats, cfg), zoom=6)
+    return grids.select(
+        F.col("x").alias("tx"),
+        F.col("y").alias("ty"),
+        F.aggregate("grid", F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("n_points"),
+    )
+
+
 def _q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List-free exact-dedup assignment operator vs the window-min SQL."""
     from gpq_tiles_spark.operators.dedup import duplicate_assignments
@@ -595,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_distributed"] = _q_knn_distributed
     out["emb_neardup_pairs"] = _q_emb_neardup
     out["dedup_assignments"] = _q_dedup_assignments
+    out["raster_density_z6"] = _q_raster_density
     return out
 
 
@@ -607,4 +641,5 @@ def oracle_sql() -> dict[str, str]:
     out["knn_distributed"] = _sql_knn_distributed()
     out["emb_neardup_pairs"] = _sql_emb_neardup("duckdb")
     out["dedup_assignments"] = _sql_dedup_assignments()
+    out["raster_density_z6"] = _sql_raster_z6()
     return out
