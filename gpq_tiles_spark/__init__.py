@@ -23,8 +23,9 @@ from .config import TilerConfig  # noqa: F401
 
 
 def __getattr__(name):  # lazy: keep kernel-only imports Spark-free
-    if name in ("convert", "fanout_records", "encode_tiles",
-                "encode_tiles_salted", "detect_hot_tiles"):
+    if name in ("convert", "convert_sharded", "fanout_records", "encode_tiles",
+                "encode_tiles_salted", "detect_hot_tiles", "encode_single_tile",
+                "ProgressEvent", "PipelineMetrics"):
         from . import pipeline
 
         return getattr(pipeline, name)
