@@ -186,9 +186,15 @@ def _split_rings(body: str) -> list[str]:
 
     Ring lists never nest (depth <= 1), so the split points are exactly the
     '),' boundaries — a C-speed str.split instead of a per-character scan.
-    The character-scan fallback remains for non-parenthesized bodies."""
+    Spec-valid WKT may carry whitespace around a depth-0 comma ('(...) , (...)'),
+    which the '),', split misses; detect that by checking every fast-path piece
+    is paren-free after stripping and fall back to the character scan if not.
+    The character-scan fallback also handles non-parenthesized bodies."""
     if "(" in body:
-        return [p.strip().lstrip("(").rstrip(")") for p in body.split("),")]
+        pieces = [p.strip().lstrip("(").rstrip(")").strip() for p in body.split("),")]
+        if not any("(" in p or ")" in p for p in pieces):
+            return pieces
+        # whitespace-padded ring boundary or other irregular spacing: scan
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(body):
         if ch == "(":

@@ -249,11 +249,18 @@ def knn_join_distributed(points: DataFrame, probes: DataFrame, k: int,
     algebra. The final radius resolves unconditionally (max-radius cap, same
     semantics as ``knn_join``). Per-round flow control reads ONE boolean
     (isEmpty) — O(1) driver traffic per round, bounded rounds.
+
+    The returned DataFrame is materialized into its own cache and every
+    intermediate cache is unpersisted before returning (unpersist never
+    breaks correctness — lineage reaches back to the inputs — it only
+    trades recompute cost on block loss). Callers owning a long-lived
+    session should ``result.unpersist()`` when done with the result.
     """
     pts = C.with_cell_column(
         points.select(F.col(point_id).alias("point_id"), "lng", "lat"),
         "lng", "lat", zoom,
     ).cache()
+    _persisted: list[DataFrame] = [pts]
 
     disk_schema = StructType([
         StructField("probe_id", LongType()),
@@ -311,6 +318,7 @@ def knn_join_distributed(points: DataFrame, probes: DataFrame, k: int,
         F.col("lng").alias("probe_lng"),
         F.col("lat").alias("probe_lat"),
     ).cache()
+    _persisted.append(remaining)
     dist = (
         (F.col("lng") - F.col("probe_lng")) * (F.col("lng") - F.col("probe_lng"))
         + (F.col("lat") - F.col("probe_lat")) * (F.col("lat") - F.col("probe_lat"))
@@ -339,13 +347,22 @@ def knn_join_distributed(points: DataFrame, probes: DataFrame, k: int,
         resolved = stats.where(
             (F.col("cnt") >= k) & (F.col("kth") <= F.col("bound"))
         ).select("probe_id").cache()
+        _persisted.append(resolved)
         rounds.append(
             topk.drop("bound").join(resolved, "probe_id", "left_semi")
         )
         remaining = remaining.join(resolved, "probe_id", "left_anti").cache()
+        _persisted.append(remaining)
         if remaining.isEmpty():
             break
     out = rounds[0]
     for extra in rounds[1:]:
         out = out.unionAll(extra)
+    # materialize once into the result's own cache, then release every
+    # intermediate (storage would otherwise accumulate across rounds and
+    # across repeated calls in a long-lived session)
+    out = out.cache()
+    out.count()
+    for df in _persisted:
+        df.unpersist()
     return out

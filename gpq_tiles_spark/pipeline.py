@@ -971,10 +971,11 @@ def make_partial_encoder(config: TilerConfig):
     return encode
 
 
-def make_merge_encoder(config: TilerConfig):
+def make_merge_encoder(config: TilerConfig, metrics: PipelineMetrics | None = None):
     """Phase B: merge salt buckets of a tile in feature_id order and wrap the
     layer — byte-identical to the single-phase encoder."""
     head, tail = mvt_fast.layer_head_tail(config.layer_name, config.extent)
+    acc_tiles = metrics.tiles_out if metrics else None
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pend: pd.DataFrame | None = None
@@ -1001,6 +1002,8 @@ def make_merge_encoder(config: TilerConfig):
                 rows["n_features"].append(int(pdf["n_records"].iloc[s:e].sum()))
                 rows["mvt"].append(mvt)
                 rows["content_hash"].append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+            if acc_tiles is not None:
+                acc_tiles.add(len(rows["tile_id"]))
             return pd.DataFrame(rows)
 
         for pdf in batches:
@@ -1063,7 +1066,8 @@ def detect_hot_tiles(features: DataFrame, config: TilerConfig,
 
 def encode_tiles_salted(records: DataFrame, config: TilerConfig,
                         num_partitions: int | None = None,
-                        hot_tile_ids: list[int] | None = None) -> DataFrame:
+                        hot_tile_ids: list[int] | None = None,
+                        metrics: PipelineMetrics | None = None) -> DataFrame:
     """Skew-safe two-phase encode [north-star: explicit salted repartitioning
     on hot tiles]. Hot tiles get their features split across salt_buckets
     sub-partitions for phase A, so no single reduce task ever owns a dense
@@ -1078,7 +1082,7 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
     if hot_tile_ids is None:
         raise ValueError("pass hot_tile_ids from detect_hot_tiles(features, config)")
     if not hot_tile_ids:
-        return encode_tiles(records, config, num_partitions)
+        return encode_tiles(records, config, num_partitions, metrics=metrics)
 
     # single-path: ONE pass over the fan-out; cold tiles carry salt=0 (one
     # bucket, phase B is a no-op wrap), hot tiles spread over salt_buckets.
@@ -1101,7 +1105,7 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
         partials.repartitionByRange(parts, "tile_id")
         if parts else partials.repartitionByRange("tile_id")
     ).sortWithinPartitions("tile_id")
-    return merged_in.mapInPandas(make_merge_encoder(config), schema=TILES_SCHEMA)
+    return merged_in.mapInPandas(make_merge_encoder(config, metrics), schema=TILES_SCHEMA)
 
 
 def fanout_records(features: DataFrame, config: TilerConfig,
@@ -1183,14 +1187,26 @@ def _make_shard_writer(shard_dir: str, codec: int):
     (the single-writer convert() compresses every blob on the driver) and
     appends them to shard_{pid}.bin with in-shard dedup; emits 40-byte
     entry rows instead of tile bytes. This is the scale-out form of the
-    sink: at 10^8+ tiles all blob bytes no longer cross the driver NIC."""
+    sink: at 10^8+ tiles all blob bytes no longer cross the driver NIC.
+
+    Retry/speculation safety: each task attempt writes to an
+    attempt-unique temp name and atomically renames to the final
+    shard_{pid}.bin when its iterator completes. Partition contents are
+    deterministic (range shuffle + in-partition sort upstream), so any
+    attempt produces byte-identical bytes and last-rename-wins is safe;
+    a failed attempt's temp file is simply never renamed."""
     import os
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         from .kernels.pmtiles import compress
 
         f = None
         pid = None
+        tmp_path = None
+        final_path = None
+        committed = False
         local_off = 0
         by_hash: dict[tuple[int, int], tuple[int, int]] = {}
         try:
@@ -1199,7 +1215,11 @@ def _make_shard_writer(shard_dir: str, codec: int):
                     continue
                 if f is None:
                     pid = int(pdf["pid"].iloc[0])
-                    f = open(os.path.join(shard_dir, f"shard_{pid:05d}.bin"), "wb")
+                    tc = TaskContext.get()
+                    attempt = tc.taskAttemptId() if tc is not None else 0
+                    final_path = os.path.join(shard_dir, f"shard_{pid:05d}.bin")
+                    tmp_path = f"{final_path}.attempt{attempt}.tmp"
+                    f = open(tmp_path, "wb")
                 out = {k: [] for k in (
                     "tile_id", "z", "content_hash", "raw_len", "local_off",
                     "blob_len", "n_features", "pid")}
@@ -1222,9 +1242,17 @@ def _make_shard_writer(shard_dir: str, codec: int):
                     out["n_features"].append(int(row.n_features))
                     out["pid"].append(pid)
                 yield pd.DataFrame(out)
+            committed = True
         finally:
             if f is not None:
                 f.close()
+                if committed:
+                    os.replace(tmp_path, final_path)  # atomic commit
+                else:
+                    try:
+                        os.remove(tmp_path)
+                    except OSError:
+                        pass
 
     return write
 
@@ -1242,6 +1270,12 @@ def convert_sharded(features: DataFrame, output_path: str,
     the round-1 review: per-blob gzip on the driver, and all tile bytes
     crossing one NIC. The driver handles only 40-byte entry rows (the same
     asymptotics as the reference's entry list) plus sequential file concat.
+
+    ``shard_dir`` must be storage visible to BOTH executors and the driver
+    (NFS/fuse mount on a real cluster). The default driver-local tempdir is
+    only valid under a local[*] master, and that is enforced: a non-local
+    master without an explicit shard_dir raises rather than producing an
+    archive that silently misses every remote executor's shards.
     """
     import os
     import shutil
@@ -1250,6 +1284,13 @@ def convert_sharded(features: DataFrame, output_path: str,
     from .kernels import pmtiles as P
 
     config = (config or TilerConfig()).validate()
+    master = features.sparkSession.conf.get("spark.master", "")
+    if shard_dir is None and not master.startswith("local"):
+        raise ValueError(
+            "convert_sharded: shard_dir defaults to a driver-local tempdir, "
+            f"which executors cannot reach under master={master!r}. Pass "
+            "shard_dir= on shared storage (visible to executors and driver)."
+        )
     if bounds is None:
         row = features.agg(
             F.min("lng_min"), F.min("lat_min"), F.max("lng_max"), F.max("lat_max")
@@ -1399,7 +1440,8 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
     )
     if salted:
         hot = detect_hot_tiles(features, config)
-        tiles = encode_tiles_salted(records, config, hot_tile_ids=hot)
+        tiles = encode_tiles_salted(records, config, hot_tile_ids=hot,
+                                    metrics=metrics)
     else:
         tiles = encode_tiles(records, config, metrics=metrics)
 

@@ -113,6 +113,19 @@ def read_geoparquet(spark: SparkSession, path: str,
                     if id_col:
                         fid = int(pdf[id_col].iloc[i])
                         did = str(fid)
+                        if part_idx:
+                            # salt flattened GeometryCollection parts so
+                            # feature_id stays unique (part 0 byte-stable,
+                            # mirroring extract._hash_feature_id)
+                            fid = int(
+                                fmix64(
+                                    np.uint64(fid)
+                                    ^ np.uint64(
+                                        (part_idx * 0x9E3779B97F4A7C15)
+                                        & 0xFFFF_FFFF_FFFF_FFFF
+                                    )
+                                )[()]
+                            ) & 0x7FFF_FFFF_FFFF_FFFF
                     else:
                         fid = int(fmix64(np.uint64(xxh64(pwkb)))[()]) & 0x7FFF_FFFF_FFFF_FFFF
                         did = ""

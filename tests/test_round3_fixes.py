@@ -1,0 +1,123 @@
+"""Regression tests for the round-2 ADVICE findings.
+
+Each test pins one reviewed defect:
+* WKT ring split must accept whitespace around depth-0 commas (spec-valid).
+* read_geoparquet(id_col=...) must salt flattened GeometryCollection parts
+  so feature_id stays a unique identity key (part 0 byte-stable).
+* knn_join_distributed must not leak cached DataFrames across calls.
+* convert(salted=True) must report accumulator-backed tiles_out.
+* convert_sharded must leave no task-attempt temp files behind.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gpq_tiles_spark.kernels import geom as G
+
+
+def test_wkt_ring_split_whitespace_before_comma():
+    """'(...) , (...)' is spec-valid WKT; the fast split must not drop or
+    mangle rings (previously raised and the span was silently skipped)."""
+    for sep in ("),(", ") ,(", "), (", ") , (", ")  ,  ("):
+        wkt = f"POLYGON((0 0, 4 0, 4 4, 0 4, 0 0{sep}1 1, 2 1, 2 2, 1 2, 1 1))"
+        t, rings = G.from_wkt(wkt)
+        assert t == G.POLYGON
+        assert len(rings) == 2
+        assert np.array_equal(rings[0][1], np.array([4.0, 0.0]))
+        assert np.array_equal(rings[1][0], np.array([1.0, 1.0]))
+    t, lines = G.from_wkt("MULTILINESTRING((0 0, 1 1) , (2 2, 3 3))")
+    assert t == G.MULTILINESTRING and len(lines) == 2
+
+
+def test_geoparquet_id_col_salts_collection_parts(spark, tmp_path):
+    """All flattened parts of a GeometryCollection must get DISTINCT
+    feature_ids even when ids come from id_col; part 0 keeps the raw id."""
+    from gpq_tiles_spark.sources.geoparquet import read_geoparquet
+
+    gc = (G.GEOMETRYCOLLECTION, [
+        (G.POINT, np.array([1.0, 2.0])),
+        (G.POINT, np.array([3.0, 4.0])),
+        (G.LINESTRING, np.array([[0.0, 0.0], [1.0, 1.0]])),
+    ])
+    pt = (G.POINT, np.array([9.0, 9.0]))
+    path = str(tmp_path / "gc_ids.parquet")
+    pq.write_table(
+        pa.table({
+            "geometry": pa.array([G.to_wkb(gc), G.to_wkb(pt)], type=pa.binary()),
+            "fid": pa.array([100, 200], type=pa.int64()),
+        }),
+        path,
+    )
+    rows = read_geoparquet(spark, path, id_col="fid").collect()
+    assert len(rows) == 4
+    ids = [r.feature_id for r in rows]
+    assert len(set(ids)) == 4, f"duplicate feature_ids: {ids}"
+    by_span = {(r.doc_id, r.span_offset): r.feature_id for r in rows}
+    assert by_span[("100", 0)] == 100  # part 0 byte-stable
+    assert by_span[("200", 0)] == 200  # non-collection untouched
+
+
+def test_knn_distributed_releases_caches(spark):
+    """After the call returns, only the result's own cache may remain;
+    result.unpersist() must return storage to the pre-call level."""
+    from gpq_tiles_spark.operators.joins import knn_join_distributed
+
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            rng.uniform(-50, 50, size=(300, 2)))],
+        "point_id long, lng double, lat double",
+    )
+    probes = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            rng.uniform(-50, 50, size=(12, 2)))],
+        "probe_id long, lng double, lat double",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    res = knn_join_distributed(pts, probes, k=3)
+    assert res.count() == 36
+    assert jsc.getPersistentRDDs().size() <= before + 1  # result cache only
+    res.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_convert_salted_reports_metrics(spark, docs_table, tmp_path):
+    """salted=True must thread PipelineMetrics into the encoders: the
+    returned metrics' tiles_out matches the tile count (previously 0)."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import convert
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    cfg = TilerConfig(min_zoom=0, max_zoom=5, shuffle_partitions=4,
+                      hot_tile_threshold=10)
+    stats = convert(feats, str(tmp_path / "salted.pmtiles"), cfg, salted=True)
+    assert stats["tiles"] > 0
+    assert stats["metrics"]["tiles_out"] == stats["tiles"]
+    assert stats["metrics"]["features_in"] > 0
+
+
+def test_convert_sharded_commits_and_cleans_tmp(spark, docs_table, tmp_path):
+    """Shard files must be committed under their final names with no
+    .tmp attempt files left behind."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import convert_sharded
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    shard_dir = str(tmp_path / "shards")
+    os.makedirs(shard_dir)
+    out = str(tmp_path / "out.pmtiles")
+    stats = convert_sharded(
+        feats, out, TilerConfig(min_zoom=0, max_zoom=5, shuffle_partitions=4),
+        shard_dir=shard_dir,
+    )
+    assert stats["tiles"] > 0
+    names = os.listdir(shard_dir)
+    assert not [n for n in names if n.endswith(".tmp")]
+    assert all(n.startswith("shard_") and n.endswith(".bin") for n in names)
