@@ -92,7 +92,7 @@ def _sql_pip_join() -> str:
     # broadcast-able small dim side.
     r = zone_rect_sql("n.n_nationkey")
     return f"""
-        SELECT n.n_nationkey AS zone_key, n.n_name AS zone_name,
+        SELECT CAST(n.n_nationkey AS BIGINT) AS zone_key, n.n_name AS zone_name,
                COUNT(*) AS n_points
         FROM nation n
         JOIN events e
@@ -112,7 +112,9 @@ def _sql_knn() -> str:
     elng = EVENT_LNG.replace("event_id", "e.event_id")
     elat = EVENT_LAT.replace("event_id", "e.event_id")
     return f"""
-        SELECT r_regionkey, rnk, event_id
+        SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+               CAST(rnk AS BIGINT) AS rnk,
+               CAST(event_id AS BIGINT) AS event_id
         FROM (
             SELECT r.r_regionkey, e.event_id,
                    ROW_NUMBER() OVER (
@@ -356,17 +358,72 @@ def _q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star MinHash+LSH near-dup detection over documents (rows-only)."""
+    """MinHash+LSH recall oracle. Full banding isn't SQL-expressible, but a
+    guaranteed invariant is: identical texts have identical shingle sets,
+    hence identical signatures, hence share EVERY band bucket — so every
+    exact-duplicate pair must be covered by >= 1 LSH bucket of size >= 2.
+    The Spark side runs the REAL operator (minhash_near_duplicates) and
+    counts covered exact-dup pairs; DuckDB computes the total from group
+    sizes; covered == total is the oracle equality."""
+    from pyspark.sql import functions as F
+
     from gpq_tiles_spark.operators.dedup import minhash_near_duplicates
 
     _register(spark, sf_dir)
-    # scalar columns only (the driver canonicalizer cannot hash array cells);
-    # max_bucket=None: the cap's count prefilter costs a second signature
-    # pass, pointless on the bounded test corpora
-    return minhash_near_duplicates(
-        spark.table("documents"), text_col="text",
-        id_col="doc_id", num_perm=32, bands=8, max_bucket=None,
-    ).select("band", "bucket", "n_docs")
+    # inject deterministic exact duplicates (doc_id % 20 == 0 copied under
+    # doc_id + 10^7) so the recall invariant is NON-VACUOUS on corpora with
+    # few natural exact dups; the oracle SQL applies the same construction
+    base = spark.table("documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text")
+    docs = base.unionAll(
+        base.where(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    buckets = minhash_near_duplicates(
+        docs, text_col="text", id_col="doc_id", num_perm=32, bands=8,
+        max_bucket=None,
+    )
+    mem = buckets.select(
+        "band", "bucket", F.explode("doc_ids").alias("doc_id")
+    )
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    pairs = (
+        h.alias("a").join(h.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    cov = (
+        pairs.join(mem.alias("ma"), F.col("da") == F.col("ma.doc_id"))
+        .join(mem.alias("mb"),
+              (F.col("db") == F.col("mb.doc_id"))
+              & (F.col("ma.band") == F.col("mb.band"))
+              & (F.col("ma.bucket") == F.col("mb.bucket")))
+        .select("da", "db").distinct()
+    )
+    return cov.agg(
+        F.count("*").alias("n_exact_dup_pairs_covered")
+    ).crossJoin(pairs.agg(F.count("*").alias("n_exact_dup_pairs_total")))
+
+
+def _sql_minhash_recall() -> str:
+    # the invariant: every exact-dup pair is LSH-covered, so covered == total
+    return """
+        SELECT COALESCE(CAST(SUM(n * (n - 1) / 2) AS BIGINT), 0)
+                   AS n_exact_dup_pairs_covered,
+               COALESCE(CAST(SUM(n * (n - 1) / 2) AS BIGINT), 0)
+                   AS n_exact_dup_pairs_total
+        FROM (
+            SELECT COUNT(*) AS n
+            FROM (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE text IS NOT NULL AND doc_id % 20 = 0
+            ) c
+            GROUP BY text
+        ) g
+        WHERE n > 1
+    """
 
 
 def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,6 +526,102 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("embeddings").where(F.col("vec_id") < 500),
         threshold=_EMB_NEARDUP_THRESHOLD,
     ).select("vec_a", "vec_b")
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 routed through the PIP OPERATOR (operators/joins.py::
+    point_in_polygon_join — cell-cover prefilter + broadcast zones +
+    vectorized ray-cast refine); the oracle keeps the half-open rect SQL.
+    Zone edges sit off the events' millidegree lattice (spatial_sql.
+    zone_rect_sql), so edge-rule differences cannot produce a mismatch."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.functions.spatial_sql import zone_rect_values
+    from gpq_tiles_spark.kernels import geom as G
+    from gpq_tiles_spark.operators.joins import point_in_polygon_join
+
+    import numpy as np
+
+    _register(spark, sf_dir)
+    nations = spark.table("nation").select("n_nationkey", "n_name").collect()
+    zrows = []
+    for r in nations:
+        x0, y0, x1, y1 = zone_rect_values(int(r.n_nationkey))
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        zrows.append((str(int(r.n_nationkey)), r.n_name,
+                      bytearray(G.to_wkb((G.POLYGON, [ring])))))
+    zones = spark.createDataFrame(
+        zrows, "zone_id string, zone_name string, zone_wkb binary")
+    pts = spark.sql(
+        f"SELECT event_id AS point_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events"
+    )
+    hits = point_in_polygon_join(pts, zones, zoom=4)
+    return (
+        hits.groupBy("zone_id")
+        .agg(F.count("*").alias("n_points"))
+        .join(F.broadcast(zones.select("zone_id", "zone_name")), "zone_id")
+        .select(
+            F.col("zone_id").cast("long").alias("zone_key"),
+            F.col("zone_name").alias("zone_name"),
+            "n_points",
+        )
+    )
+
+
+def _q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 routed through the kNN OPERATOR (operators/joins.py::knn_join —
+    grid-disk expansion, driver round control); oracle stays the
+    brute-force window SQL. Same probe/point derivation as the SQL text."""
+    from gpq_tiles_spark.operators.joins import knn_join
+
+    _register(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT event_id AS point_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events"
+    )
+    probes = spark.sql(
+        "SELECT CAST(r_regionkey AS BIGINT) AS probe_id, "
+        "CAST((r_regionkey * 61) % 300 AS DOUBLE) - 150.0 AS lng, "
+        "CAST((r_regionkey * 43) % 120 AS DOUBLE) - 60.0 AS lat FROM region"
+    )
+    out = knn_join(pts, probes, k=5, zoom=6)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        F.col("probe_id").cast("long").alias("r_regionkey"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("point_id").cast("long").alias("event_id"),
+    )
+
+
+def _q_density_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/O4 routed through the DENSITY OPERATOR (operators/density.py::
+    density_limit). The operator's (tile, 16px-cell-of-4096-extent) grid is
+    driven at tile zoom 4, where extent/cell = 256 sub-cells per side makes
+    each cell EXACTLY one z12 tile (4 + 8 zoom levels); the centroid pixel
+    is derived from the z12/z4 tile columns, and multiplying by powers of
+    two is exact in IEEE-754, so the operator's partition key is bit-equal
+    to the oracle's z12 cell."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.operators.density import density_limit
+
+    _register(spark, sf_dir)
+    x12 = tile_x_sql(EVENT_LNG, 12)
+    y12 = tile_y_sql(EVENT_LAT, 12)
+    x4 = tile_x_sql(EVENT_LNG, 4)
+    y4 = tile_y_sql(EVENT_LAT, 4)
+    recs = spark.sql(f"""
+        SELECT event_id AS feature_id,
+               4 AS z,
+               ({x4}) * 1048576 + ({y4}) AS tile_id,
+               CAST((({x12}) - 256 * ({x4})) * 16 + 8 AS DOUBLE) AS px_x,
+               CAST((({y12}) - 256 * ({y4})) * 16 + 8 AS DOUBLE) AS px_y,
+               {x12} AS cell_x, {y12} AS cell_y
+        FROM events
+    """)
+    kept = density_limit(recs, "px_x", "px_y", extent=4096, cell_size=16,
+                         max_per_cell=2, max_zoom=14)
+    return kept.groupBy("cell_x", "cell_y").agg(F.count("*").alias("n_kept"))
 
 
 def _q_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,6 +774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, (spark_sql, _duck) in _DIALECT_SQL.items():
         out[name] = _make_sql_query(spark_sql)
+    # operator-backed Spark sides (oracle side keeps the SQL): the driver
+    # compare then checks the OPERATORS, not Spark-vs-DuckDB SQL parity
+    out["pip_join"] = _q_pip_join
+    out["knn_points"] = _q_knn_points
+    out["density_limit"] = _q_density_limit
     out["hilbert_order"] = _q_hilbert_order
     out["minhash_neardup"] = _q_minhash_neardup
     out["tile_pipeline_z8"] = _q_tile_pipeline
@@ -638,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         out[name] = duck_sql
     # engine-backed query whose result is provably the z8 assignment SQL
     out["tile_records_z8"] = _sql_tile_assign_z8()
+    out["minhash_neardup"] = _sql_minhash_recall()
     out["knn_distributed"] = _sql_knn_distributed()
     out["emb_neardup_pairs"] = _sql_emb_neardup("duckdb")
     out["dedup_assignments"] = _sql_dedup_assignments()

@@ -105,63 +105,155 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def run_adm4_anchor(cores: int = 32) -> dict:
-    """Like-for-like run against the reference's published anchor: 363,783
-    small polygons in a Netherlands-sized box -> z0-14 PMTiles archive
-    (context/ARCHITECTURE.md:74-80: ~3 min single-node for ADM4). Full
-    convert() incl. driver-side archive assembly."""
+def _adm4_gen(batches):
+    """Vertex-realistic ADM4-like polygons: ~550-vertex irregular rings
+    (harmonic radius perturbation + noise — wiggly, non-convex,
+    star-simple so always valid), matching the real fixture's density:
+    3.2 GB / 363,783 rows ~= 550 vertices/polygon
+    (reference context/ARCHITECTURE.md:74-80). Fully vectorized: one flat
+    coordinate array per Arrow batch, segmented ops per feature."""
     import numpy as np
     import pandas as pd
 
-    from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.extract import FEATURES_SCHEMA
     from gpq_tiles_spark.kernels import geom as G
+
+    for pdf in batches:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = len(ids)
+        if m == 0:
+            continue
+        rng = np.random.default_rng(1_000_003 + int(ids[0]))
+        cx = 3.3 + rng.uniform(0, 3.5, m)
+        cy = 50.7 + rng.uniform(0, 3.0, m)
+        w = rng.uniform(0.001, 0.02, m)
+        h = rng.uniform(0.001, 0.02, m)
+        # 450..650 vertices, mean ~550 (deterministic per id)
+        vs = (450 + ids % 201).astype(np.int64)
+        total = int(vs.sum())
+        fidx = np.repeat(np.arange(m), vs)
+        # angles: uniform increments -> segmented normalized cumsum
+        dt_ = rng.uniform(0.2, 1.8, total)
+        starts = np.concatenate(([0], np.cumsum(vs)[:-1]))
+        seg_sum = np.add.reduceat(dt_, starts)
+        cs = np.cumsum(dt_)
+        cs = cs - np.repeat(cs[starts] - dt_[starts], vs)  # per-seg cumsum
+        theta = 2.0 * np.pi * cs / np.repeat(seg_sum, vs)
+        # radius: low+mid+high harmonics + noise, bounded away from 0
+        p = rng.uniform(0, 2 * np.pi, (3, m))
+        r = (1.0
+             + 0.18 * np.sin(3 * theta + np.repeat(p[0], vs))
+             + 0.12 * np.sin(7 * theta + np.repeat(p[1], vs))
+             + 0.07 * np.sin(17 * theta + np.repeat(p[2], vs))
+             + rng.normal(0.0, 0.03, total))
+        np.clip(r, 0.35, None, out=r)
+        xs = np.repeat(cx, vs) + np.repeat(w, vs) * r * np.cos(theta)
+        ys = np.repeat(cy, vs) + np.repeat(h, vs) * r * np.sin(theta)
+        coords = np.column_stack((xs, ys))
+        x0 = np.minimum.reduceat(xs, starts)
+        x1 = np.maximum.reduceat(xs, starts)
+        y0 = np.minimum.reduceat(ys, starts)
+        y1 = np.maximum.reduceat(ys, starts)
+        _ = fidx
+        out = {
+            "feature_id": ids.tolist(),
+            "doc_id": [str(i) for i in ids],
+            "span_offset": [0] * m,
+            "wkb": [None] * m,
+            "geom_type": [G.POLYGON] * m,
+            "lng_min": x0.tolist(), "lat_min": y0.tolist(),
+            "lng_max": x1.tolist(), "lat_max": y1.tolist(),
+        }
+        ends = np.append(starts[1:], total)
+        for i in range(m):
+            ring = coords[starts[i]:ends[i]]
+            ring = np.vstack((ring, ring[:1]))  # close
+            out["wkb"][i] = G.to_wkb((G.POLYGON, [ring]))
+        yield pd.DataFrame(out)
+
+
+def _write_adm4_chunk(args: tuple) -> str:
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lo, hi, fpath = args
+    pdf = pd.DataFrame({"id": np.arange(lo, hi, dtype=np.int64)})
+    out = next(_adm4_gen(iter([pdf])))
+    tbl = pa.table({
+        "feature_id": pa.array(out["feature_id"], type=pa.int64()),
+        "doc_id": pa.array(out["doc_id"], type=pa.string()),
+        "span_offset": pa.array(out["span_offset"], type=pa.int32()),
+        "wkb": pa.array(out["wkb"], type=pa.binary()),
+        "geom_type": pa.array(out["geom_type"], type=pa.int32()),
+        "lng_min": pa.array(out["lng_min"], type=pa.float64()),
+        "lat_min": pa.array(out["lat_min"], type=pa.float64()),
+        "lng_max": pa.array(out["lng_max"], type=pa.float64()),
+        "lat_max": pa.array(out["lat_max"], type=pa.float64()),
+    })
+    pq.write_table(tbl, fpath, row_group_size=2048)
+    return fpath
+
+
+def _adm4_fixture(spark, cores: int) -> str:
+    """Materialize the vertex-realistic ADM4 fixture to parquet ONCE
+    (untimed, cached across runs) — the timed anchor then reads ~3 GB from
+    disk exactly like the reference reads its GeoParquet fixture. Written
+    driver-side via pyarrow in a process pool (64 files, 2048-row groups)
+    so Spark gets clean input splits without paying a generation shuffle."""
+    path = "/tmp/gpq_bench/adm4_features.parquet"
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        os.makedirs(path, exist_ok=True)
+        from concurrent.futures import ProcessPoolExecutor
+
+        n = 363_783
+        n_files = 64
+        bounds = [round(i * n / n_files) for i in range(n_files + 1)]
+        jobs = [
+            (bounds[i], bounds[i + 1],
+             os.path.join(path, f"part-{i:05d}.parquet"))
+            for i in range(n_files)
+        ]
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 8)) as ex:
+            list(ex.map(_write_adm4_chunk, jobs))
+    return path
+
+
+def run_adm4_anchor(cores: int = 32) -> dict:
+    """Like-for-like run against the reference's published anchor: 363,783
+    VERTEX-REALISTIC polygons (~550 vertices each, ~= the real 3.2 GB ADM4
+    fixture's vertex density) in a Netherlands-sized box -> z0-14 PMTiles
+    archive (context/ARCHITECTURE.md:74-80: ~3 min single-node for ADM4).
+    Input is read from disk (pre-materialized parquet, generation untimed);
+    the timed section is scan -> fan-out -> shuffle -> encode -> archive
+    via the sharded sink."""
+    from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.pipeline import convert_sharded
 
     spark = _fresh_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    n = 363_783
-    base = spark.range(n).repartition(4 * cores)
-
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            rng = np.random.default_rng(ids[0] if len(ids) else 0)
-            cx = 3.3 + rng.uniform(0, 3.5, len(ids))
-            cy = 50.7 + rng.uniform(0, 3.0, len(ids))
-            w = rng.uniform(0.001, 0.02, len(ids))
-            h = rng.uniform(0.001, 0.02, len(ids))
-            out = {k: [] for k in (
-                "feature_id", "doc_id", "span_offset", "wkb", "geom_type",
-                "lng_min", "lat_min", "lng_max", "lat_max")}
-            for i in range(len(ids)):
-                x0, y0 = cx[i] - w[i], cy[i] - h[i]
-                x1, y1 = cx[i] + w[i], cy[i] + h[i]
-                ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-                out["feature_id"].append(int(ids[i]))
-                out["doc_id"].append(str(ids[i]))
-                out["span_offset"].append(0)
-                out["wkb"].append(G.to_wkb((G.POLYGON, [ring])))
-                out["geom_type"].append(G.POLYGON)
-                out["lng_min"].append(x0)
-                out["lat_min"].append(y0)
-                out["lng_max"].append(x1)
-                out["lat_max"].append(y1)
-            yield pd.DataFrame(out)
-
-    feats = base.mapInPandas(gen, schema=FEATURES_SCHEMA)
+    path = _adm4_fixture(spark, cores)
+    feats = spark.read.parquet(path)
     cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores)
     t0 = time.perf_counter()
     # sharded sink: executor-parallel blob compression, byte-identical
     # archive (tests/test_pipeline_e2e.py::test_convert_sharded_byte_identical)
     stats = convert_sharded(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg)
     dt = time.perf_counter() - t0
+    fixture_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    )
     spark.stop()
     return {
-        "workload": "363,783 small polygons (NL-sized box) -> z0-14 pmtiles",
+        "workload": "363,783 vertex-realistic (~550-vtx) polygons "
+                    "(NL-sized box) -> z0-14 pmtiles, input read from disk",
         "sec": round(dt, 1),
         "features_per_sec": round(363_783 / dt, 1),
         "tiles": stats["tiles"],
+        "fixture_bytes": fixture_bytes,
         "reference_anchor_sec": 180,
     }
 

@@ -51,10 +51,25 @@ def world_y_sql(lat: str) -> str:
 
 def zone_rect_sql(key: str) -> dict[str, str]:
     """Deterministic zone rectangles derived from an integer key (used to give
-    the nation table a spatial footprint for PIP joins)."""
+    the nation table a spatial footprint for PIP joins).
+
+    Bounds sit 0.0005 deg off the events' millidegree lattice (EVENT_LNG/
+    EVENT_LAT are exact multiples of 0.001), so no event can ever fall
+    exactly ON a zone edge: the SQL's half-open [lng0, lng0+w) rule and the
+    PIP kernel's ray-crossing edge rule then agree on every point, making
+    the operator-backed Spark query and the SQL oracle structurally equal."""
     return {
-        "lng0": f"(CAST(({key} * 37) % 300 AS DOUBLE) - 170.0)",
-        "lat0": f"(CAST(({key} * 23) % 130 AS DOUBLE) - 75.0)",
+        "lng0": f"(CAST(({key} * 37) % 300 AS DOUBLE) - 169.9995)",
+        "lat0": f"(CAST(({key} * 23) % 130 AS DOUBLE) - 74.9995)",
         "lng_w": "24.0",
         "lat_h": "18.0",
     }
+
+
+def zone_rect_values(key: int) -> tuple[float, float, float, float]:
+    """The same zone rectangle as ``zone_rect_sql`` computed in Python —
+    bit-identical doubles (int-exact cast, one IEEE subtraction), for
+    building the polygon WKBs the PIP operator consumes."""
+    lng0 = float((key * 37) % 300) - 169.9995
+    lat0 = float((key * 23) % 130) - 74.9995
+    return lng0, lat0, lng0 + 24.0, lat0 + 18.0

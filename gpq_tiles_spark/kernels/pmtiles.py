@@ -445,3 +445,39 @@ class PMTilesReader:
                 raw = self.data[start : start + e.length]
                 return decompress(raw, self.header.tile_compression)
         return None
+
+
+def read_tile(path: str, z: int, x: int, y: int,
+              decode: bool = False):
+    """Public archive-read API (reference ``decode_tile`` entry point
+    analog, pipeline.rs:1762): fetch ONE tile's bytes from a .pmtiles
+    archive by (z, x, y) using header + root-directory range reads only —
+    the archive is never loaded whole, so this works on multi-GB outputs.
+
+    Returns the decompressed MVT bytes (or the decoded feature structure
+    when ``decode=True``, via kernels.mvt.decode_tile), or None when the
+    tile is absent. Directories written by this engine are root-only
+    (clustered, run-length coalesced), which is what this resolves."""
+    import bisect
+
+    import numpy as np
+
+    from .hilbert import tile_id as _tile_id
+    from .mvt import decode_tile as _decode
+
+    with open(path, "rb") as f:
+        hdr = Header.from_bytes(f.read(HEADER_SIZE))
+        f.seek(hdr.root_dir_offset)
+        root = f.read(hdr.root_dir_length)
+        entries = decode_directory(decompress(root, hdr.internal_compression))
+        tid = int(_tile_id(z, np.array([x]), np.array([y]))[0])
+        ids = [e.tile_id for e in entries]
+        i = bisect.bisect_right(ids, tid) - 1
+        if i < 0:
+            return None
+        e = entries[i]
+        if not (e.tile_id <= tid < e.tile_id + max(e.run_length, 1)):
+            return None
+        f.seek(hdr.tile_data_offset + e.offset)
+        raw = decompress(f.read(e.length), hdr.tile_compression)
+    return _decode(raw) if decode else raw

@@ -24,5 +24,9 @@ def density_limit(records: DataFrame, centroid_px_x: str, centroid_px_y: str,
     cell_x = (F.col(centroid_px_x) / cell_size).cast("long")
     cell_y = (F.col(centroid_px_y) / cell_size).cast("long")
     w = Window.partitionBy("tile_id", cell_x, cell_y).orderBy("feature_id")
-    rn = F.row_number().over(w)
-    return records.where((F.col("z") >= max_zoom) | (rn <= max_per_cell))
+    rn_col = "__density_rn"
+    return (
+        records.withColumn(rn_col, F.row_number().over(w))
+        .where((F.col("z") >= max_zoom) | (F.col(rn_col) <= max_per_cell))
+        .drop(rn_col)
+    )

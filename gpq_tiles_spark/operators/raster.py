@@ -143,40 +143,118 @@ def _connected_rects(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     return rects
 
 
+def _rect_feature_msgs(rects: list[tuple[int, int, int, int]],
+                       lng0: float, lat0: float, lng1: float, lat1: float,
+                       gs: int, extent: int) -> list[bytes]:
+    """Vectorized MVT feature messages for R axis-aligned cell rects of one
+    tile — byte-identical to LayerBuilder.add_feature over the equivalent
+    geographic rings (same geo->pixel quantization via round_half_away, same
+    CCW command stream: MoveTo, 3x LineTo, ClosePath), but every command int
+    and varint is produced with numpy over the whole rect batch at once.
+
+    Replaces the engine's last iterrows/per-feature-scalar encode path
+    (round-2 review item)."""
+    from ..kernels.mvt import round_half_away, varint_array_u32
+
+    r = np.asarray(rects, dtype=np.float64)  # (R, 4): cx0, cy0, cx1, cy1
+    n = len(r)
+    scale_x = (lng1 - lng0) / gs
+    scale_y = (lat1 - lat0) / gs
+    # cell coords (y down) -> geographic edges (y up), then the SAME
+    # expression sequence geo_to_tile_px uses (rounding parity is exact:
+    # identical IEEE ops in identical order)
+    gx0 = lng0 + r[:, 0] * scale_x
+    gx1 = lng0 + r[:, 2] * scale_x
+    gy1 = lat1 - r[:, 1] * scale_y   # top edge (cy0)
+    gy0 = lat1 - r[:, 3] * scale_y   # bottom edge (cy1)
+    ex = extent
+    px0 = round_half_away((gx0 - lng0) / (lng1 - lng0) * ex).astype(np.int64)
+    px1 = round_half_away((gx1 - lng0) / (lng1 - lng0) * ex).astype(np.int64)
+    pyb = round_half_away((1.0 - (gy0 - lat0) / (lat1 - lat0)) * ex).astype(np.int64)
+    pyt = round_half_away((1.0 - (gy1 - lat0) / (lat1 - lat0)) * ex).astype(np.int64)
+
+    zz = M.zigzag_encode
+    cmds = np.empty((n, 11), dtype=np.uint64)
+    cmds[:, 0] = M.command_encode(M.CMD_MOVE_TO, 1)
+    cmds[:, 1] = zz(px0)
+    cmds[:, 2] = zz(pyb)
+    cmds[:, 3] = M.command_encode(M.CMD_LINE_TO, 3)
+    cmds[:, 4] = zz(px1 - px0)
+    cmds[:, 5] = 0
+    cmds[:, 6] = 0
+    cmds[:, 7] = zz(pyt - pyb)
+    cmds[:, 8] = zz(px0 - px1)
+    cmds[:, 9] = 0
+    cmds[:, 10] = M.command_encode(M.CMD_CLOSE_PATH, 1)
+
+    flat = cmds.reshape(-1)
+    payload = varint_array_u32(flat)  # all geometry varints, row-major
+    nb = np.ones(len(flat), dtype=np.int64)
+    v = flat >> np.uint64(7)
+    while v.any():
+        nb += (v > 0)
+        v >>= np.uint64(7)
+    row_len = nb.reshape(n, 11).sum(axis=1)
+    offs = np.concatenate(([0], np.cumsum(row_len)))
+
+    ids = np.arange(n, dtype=np.uint64)
+    id_vb = varint_array_u32(ids)
+    id_nb = np.ones(n, dtype=np.int64)
+    v = ids >> np.uint64(7)
+    while v.any():
+        id_nb += (v > 0)
+        v >>= np.uint64(7)
+    id_offs = np.concatenate(([0], np.cumsum(id_nb)))
+
+    geom_len_vb = varint_array_u32(row_len.astype(np.uint64))
+    gl_nb = np.ones(n, dtype=np.int64)
+    v = row_len.astype(np.uint64) >> np.uint64(7)
+    while v.any():
+        gl_nb += (v > 0)
+        v >>= np.uint64(7)
+    gl_offs = np.concatenate(([0], np.cumsum(gl_nb)))
+
+    pv = memoryview(payload)
+    iv = memoryview(id_vb)
+    gv = memoryview(geom_len_vb)
+    type_geom = b"\x18\x03\x22"  # type(3)=POLYGON, geometry(4) len-delim tag
+    return [
+        b"\x08" + bytes(iv[id_offs[i]:id_offs[i + 1]]) + type_geom
+        + bytes(gv[gl_offs[i]:gl_offs[i + 1]]) + bytes(pv[offs[i]:offs[i + 1]])
+        for i in range(n)
+    ]
+
+
 def vectorize_density(grids: DataFrame, threshold: int = 1,
                       layer_name: str = "density", extent: int = 4096) -> DataFrame:
-    """Density grids -> polygonized MVT tiles (cells >= threshold)."""
+    """Density grids -> polygonized MVT tiles (cells >= threshold).
+
+    Input cardinality is tiles; per tile, rect extraction walks the grid
+    once and the MVT assembly is fully vectorized over the rect batch
+    (``_rect_feature_msgs`` + ``mvt_fast.wrap_layer``)."""
+    from ..kernels import mvt_fast
 
     def vectorize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        head, tail = mvt_fast.layer_head_tail(layer_name, extent)
         for pdf in batches:
             rows = {k: [] for k in ("tile_id", "z", "x", "y", "n_polygons", "mvt")}
-            for _, r in pdf.iterrows():
-                gs = int(r["grid_size"])
-                grid = np.array(r["grid"], dtype=np.int64).reshape(gs, gs)
+            for rec in pdf.itertuples(index=False):
+                gs = int(rec.grid_size)
+                grid = np.array(rec.grid, dtype=np.int64).reshape(gs, gs)
                 rects = _connected_rects(grid >= threshold)
                 lng0, lat0, lng1, lat1 = (
                     float(v[0])
-                    for v in T.tile_bounds(np.array([r["x"]]), np.array([r["y"]]), int(r["z"]))
+                    for v in T.tile_bounds(np.array([rec.x]), np.array([rec.y]),
+                                           int(rec.z))
                 )
-                lb = M.LayerBuilder(layer_name, extent)
-                scale_x = (lng1 - lng0) / gs
-                scale_y = (lat1 - lat0) / gs
-                for i, (cx0, cy0, cx1, cy1) in enumerate(rects):
-                    # cell coords (y down) -> geographic ring (y up)
-                    gx0 = lng0 + cx0 * scale_x
-                    gx1 = lng0 + cx1 * scale_x
-                    gy1 = lat1 - cy0 * scale_y
-                    gy0 = lat1 - cy1 * scale_y
-                    ring = np.array(
-                        [[gx0, gy0], [gx1, gy0], [gx1, gy1], [gx0, gy1], [gx0, gy0]]
-                    )
-                    lb.add_feature(i, (G.POLYGON, [ring]), [], lng0, lat0, lng1, lat1)
-                rows["tile_id"].append(int(r["tile_id"]))
-                rows["z"].append(int(r["z"]))
-                rows["x"].append(int(r["x"]))
-                rows["y"].append(int(r["y"]))
+                msgs = _rect_feature_msgs(rects, lng0, lat0, lng1, lat1,
+                                          gs, extent) if rects else []
+                rows["tile_id"].append(int(rec.tile_id))
+                rows["z"].append(int(rec.z))
+                rows["x"].append(int(rec.x))
+                rows["y"].append(int(rec.y))
                 rows["n_polygons"].append(len(rects))
-                rows["mvt"].append(M.encode_tile([lb.build()]))
+                rows["mvt"].append(mvt_fast.wrap_layer(head, msgs, tail))
             yield pd.DataFrame(rows)
 
     return grids.mapInPandas(vectorize, schema=VECTOR_SCHEMA)

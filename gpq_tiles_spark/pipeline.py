@@ -528,6 +528,12 @@ def _clip_pair(cache: dict, z: int, max_zoom: int, extent: int,
     return _finish_clip(clipped, z, max_zoom, extent, lng0, lat0, lng1, lat1, fid)
 
 
+# Fan-out output flush thresholds: each yielded frame becomes one Arrow
+# record batch JVM-side, so bound both payload bytes and row count.
+FANOUT_FLUSH_BYTES = 32 << 20
+FANOUT_FLUSH_ROWS = 400_000
+
+
 def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
     """Build the mapInPandas fan-out function (closure over config).
 
@@ -572,15 +578,38 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
             out_tid: list[np.ndarray] = []
             out_fid: list[np.ndarray] = []
             out_wkb: list[list] = []
+            pend_bytes = 0
+            pend_rows = 0
 
             def emit(z: int, xs_e, ys_e, fids_e, wkbs_e) -> None:
+                nonlocal pend_bytes, pend_rows
                 if len(xs_e) == 0:
                     return
                 xs_a = np.asarray(xs_e, dtype=np.int64)
                 ys_a = np.asarray(ys_e, dtype=np.int64)
                 out_tid.append(H.tile_id(z, xs_a, ys_a).astype(np.int64))
                 out_fid.append(np.asarray(fids_e, dtype=np.int64))
-                out_wkb.append(list(wkbs_e))
+                wl = list(wkbs_e)
+                out_wkb.append(wl)
+                pend_rows += len(wl)
+                pend_bytes += sum(len(w) for w in wl) + 24 * len(wl)
+
+            def drain() -> pd.DataFrame:
+                nonlocal pend_bytes, pend_rows
+                tid_all = np.concatenate(out_tid)
+                if acc_out is not None:
+                    acc_out.add(len(tid_all))
+                frame = pd.DataFrame({
+                    "tile_id": tid_all,
+                    "feature_id": np.concatenate(out_fid),
+                    "wkb": [w for chunk in out_wkb for w in chunk],
+                })
+                out_tid.clear()
+                out_fid.clear()
+                out_wkb.clear()
+                pend_bytes = 0
+                pend_rows = 0
+                return frame
 
             def get_cache(r: int) -> dict:
                 c = caches[r]
@@ -676,6 +705,9 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                             k_y.extend((gyy0 + iy).tolist())
                             k_w.extend([b""] * len(ix))
                         emit(z, k_x, k_y, [fid[r]] * len(k_x), k_w)
+                        if (pend_bytes >= FANOUT_FLUSH_BYTES
+                                or pend_rows >= FANOUT_FLUSH_ROWS):
+                            yield drain()
 
                 # ---------- small regime: vectorized explode ----------
                 small = np.nonzero(~use_grid)[0]
@@ -806,18 +838,18 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                     ki = np.array(keep_pos, dtype=np.int64)
                     emit(z, xs[ki], ys[ki], fid[ridx[ki]], keep_wkb)
 
-            if not out_tid:
-                continue
-            tid_all = np.concatenate(out_tid)
-            if acc_out is not None:
-                acc_out.add(len(tid_all))
-            yield pd.DataFrame(
-                {
-                    "tile_id": tid_all,
-                    "feature_id": np.concatenate(out_fid),
-                    "wkb": [w for chunk in out_wkb for w in chunk],
-                }
-            )
+                # bounded output batches: a vertex-heavy input batch fanned
+                # out across 15 zooms would otherwise build one multi-hundred-
+                # MB frame, and each yielded frame becomes ONE Arrow record
+                # batch on the JVM side — 32 concurrent tasks x ~800 MB blows
+                # the direct-memory pool. Flush between zoom levels once the
+                # pending payload passes the cap; tile_id order within the
+                # partition is irrelevant (the range shuffle re-sorts).
+                if pend_bytes >= FANOUT_FLUSH_BYTES or pend_rows >= FANOUT_FLUSH_ROWS:
+                    yield drain()
+
+            if out_tid:
+                yield drain()
 
     return fanout
 

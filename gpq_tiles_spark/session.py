@@ -25,7 +25,12 @@ def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[K] puts driver + executor in ONE JVM: size the heap for the
+        # harness box (128 GiB). Arrow/netty direct memory defaults to the
+        # heap cap, so this also sizes the Arrow transfer pool that the
+        # vertex-heavy fan-out batches go through. On a real cluster these
+        # come from spark-submit conf instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )

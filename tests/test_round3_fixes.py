@@ -121,3 +121,86 @@ def test_convert_sharded_commits_and_cleans_tmp(spark, docs_table, tmp_path):
     names = os.listdir(shard_dir)
     assert not [n for n in names if n.endswith(".tmp")]
     assert all(n.startswith("shard_") and n.endswith(".bin") for n in names)
+
+
+def test_rect_feature_msgs_byte_parity():
+    """Vectorized rect MVT assembly must be byte-identical to the scalar
+    LayerBuilder path it replaced (same quantization, same command stream)."""
+    from gpq_tiles_spark.kernels import mvt as M
+    from gpq_tiles_spark.kernels import mvt_fast
+    from gpq_tiles_spark.kernels import tile_math as T
+    from gpq_tiles_spark.operators.raster import _rect_feature_msgs
+
+    rng = np.random.default_rng(11)
+    for z, x, y, gs, extent in [(6, 33, 21, 32, 4096), (3, 4, 2, 64, 4096),
+                                (10, 512, 389, 16, 256)]:
+        lng0, lat0, lng1, lat1 = (
+            float(v[0]) for v in T.tile_bounds(np.array([x]), np.array([y]), z)
+        )
+        rects = []
+        for _ in range(40):
+            cx0 = int(rng.integers(0, gs - 1))
+            cy0 = int(rng.integers(0, gs - 1))
+            cx1 = int(rng.integers(cx0 + 1, gs + 1))
+            cy1 = int(rng.integers(cy0 + 1, gs + 1))
+            rects.append((cx0, cy0, cx1, cy1))
+        # scalar oracle: the pre-round-3 LayerBuilder path
+        lb = M.LayerBuilder("density", extent)
+        scale_x = (lng1 - lng0) / gs
+        scale_y = (lat1 - lat0) / gs
+        for i, (cx0, cy0, cx1, cy1) in enumerate(rects):
+            gx0 = lng0 + cx0 * scale_x
+            gx1 = lng0 + cx1 * scale_x
+            gy1 = lat1 - cy0 * scale_y
+            gy0 = lat1 - cy1 * scale_y
+            ring = np.array(
+                [[gx0, gy0], [gx1, gy0], [gx1, gy1], [gx0, gy1], [gx0, gy0]])
+            lb.add_feature(i, (G.POLYGON, [ring]), [], lng0, lat0, lng1, lat1)
+        expected = M.encode_tile([lb.build()])
+        head, tail = mvt_fast.layer_head_tail("density", extent)
+        msgs = _rect_feature_msgs(rects, lng0, lat0, lng1, lat1, gs, extent)
+        got = mvt_fast.wrap_layer(head, msgs, tail)
+        assert got == expected
+
+
+def test_read_tile_public_api(spark, docs_table, tmp_path):
+    """read_tile(path, z, x, y): range-read archive access must return the
+    same bytes as the in-memory reader, decode on request, and None for
+    absent tiles."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.kernels.hilbert import tile_id_to_zxy
+    from gpq_tiles_spark.kernels.pmtiles import PMTilesReader, read_tile
+    from gpq_tiles_spark.pipeline import convert
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    out = str(tmp_path / "rt.pmtiles")
+    convert(feats, out, TilerConfig(min_zoom=0, max_zoom=6,
+                                    shuffle_partitions=4))
+    rd = PMTilesReader(out)
+    tids = rd.tile_ids()
+    assert tids
+    for tid in (tids[0], tids[len(tids) // 2], tids[-1]):
+        z, x, y = tile_id_to_zxy(tid)
+        assert read_tile(out, z, x, y) == rd.get_tile_bytes(tid)
+    layers = read_tile(out, *tile_id_to_zxy(tids[0]), decode=True)
+    assert layers and layers[0]["features"]
+    # absent tile at a deep zoom no archive entry covers
+    assert read_tile(out, 14, 0, 0) is None
+
+
+def test_embedding_neardup_exact_guard(spark, monkeypatch):
+    """Above the row cap, the exact path must fail fast with guidance
+    instead of planning an O(n^2) self-join; force_exact overrides."""
+    import gpq_tiles_spark.operators.similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(S, "EXACT_PAIRS_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="use_lsh=True"):
+        S.embedding_near_duplicates(vecs, threshold=0.9)
+    n = S.embedding_near_duplicates(vecs, threshold=0.999999,
+                                    force_exact=True).count()
+    assert n > 0
