@@ -5,7 +5,7 @@ and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``--scaling`` additionally runs the tiling pipeline at two parallelism levels
-(local[4] vs local[16], both below hardware saturation) on the same input,
+(local[2] vs local[8], both below hardware saturation) on the same input,
 steady-state (after a warmup pass), and reports throughput at both plus
 efficiency = (thr_hi / thr_lo) / (cores_hi / cores_lo) — the sandbox
 substitution for the north rule's N->4N cluster criterion (BASELINE.md).
@@ -56,7 +56,7 @@ def run_tiling(spark, sf_dir: str, max_zoom: int = 10) -> tuple[float, int, int]
     t0 = time.perf_counter()
     # persist: the range-partition sampling job would otherwise re-execute
     # the whole fan-out (same rationale as pipeline.convert)
-    records = fanout_records(feats, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    records = fanout_records(feats, cfg).persist(StorageLevel.DISK_ONLY)
     tiles = encode_tiles(records, cfg)
     agg = tiles.agg(
         F.count("*").alias("tiles"), F.sum("n_features").alias("records")
@@ -235,12 +235,33 @@ def run_adm4_anchor(cores: int = 32) -> dict:
     spark = _fresh_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     path = _adm4_fixture(spark, cores)
+    # smaller input splits: the fan-out expands each input byte ~10x, so a
+    # 128 MB split would make every task hold a ~GB partition through the
+    # shuffle write; 32 MB splits keep per-task footprint bounded and load
+    # balanced across the 32 threads
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 << 20))
+    # bounded Arrow batches: records carry ~8.8 KB WKB each, so the default
+    # 10k-row batch is ~88 MB — and the encode stage pipelines TWO
+    # mapInPandas per task (merge encoder -> shard writer), i.e. 2 Python
+    # workers per core. Worker RSS ratchets to its peak transient (pymalloc
+    # arenas are never returned), so 64 workers x several-hundred-MB batches
+    # exhausts host memory. 2048-row batches (~18 MB) keep the whole Python
+    # side under ~15 GB at local[32].
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     feats = spark.read.parquet(path)
-    cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores)
+    # salted: the NL box fits in ONE tile at z<=6, so unsalted encode would
+    # hand single tasks ~3 GB tile runs (363k features x ~8 KB simplified
+    # WKB). Hot tiles (> 8192 features) split across 32 salt buckets for
+    # phase A; phase B merges encoded feature MESSAGES (~7x smaller than
+    # WKB). This is the north-star "explicit salted repartitioning on hot
+    # tiles" exercised at its actual scale.
+    cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores,
+                      hot_tile_threshold=8192, salt_buckets=32)
     t0 = time.perf_counter()
     # sharded sink: executor-parallel blob compression, byte-identical
     # archive (tests/test_pipeline_e2e.py::test_convert_sharded_byte_identical)
-    stats = convert_sharded(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg)
+    stats = convert_sharded(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg,
+                            salted=True)
     dt = time.perf_counter() - t0
     fixture_bytes = sum(
         os.path.getsize(os.path.join(path, f))
@@ -308,7 +329,7 @@ def run_scaling(max_zoom: int = 12) -> dict:
         ).collect()
         t0 = time.perf_counter()
         records = fanout_records(extract_features(docs), cfg).persist(
-            StorageLevel.MEMORY_AND_DISK
+            StorageLevel.DISK_ONLY
         )
         tiles = encode_tiles(records, cfg)
         agg = tiles.agg(F.count("*"), F.sum("n_features")).collect()[0]

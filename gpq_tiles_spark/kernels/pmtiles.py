@@ -481,3 +481,93 @@ def read_tile(path: str, z: int, x: int, y: int,
         f.seek(hdr.tile_data_offset + e.offset)
         raw = decompress(f.read(e.length), hdr.tile_compression)
     return _decode(raw) if decode else raw
+
+
+# ---------------------------------------------------------------------------
+# Distributed directory assembly (round-3: driver O(shards), not O(tiles))
+# ---------------------------------------------------------------------------
+
+def varint_array_u64(vals) -> bytes:
+    """Vectorized LEB128 for uint64 arrays (numpy; up to 10 bytes/value).
+    Byte-identical to encode_varint applied per value."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nb = np.ones(n, dtype=np.int64)
+    t = v >> np.uint64(7)
+    while t.any():
+        nb += (t > 0)
+        t >>= np.uint64(7)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    pos = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    cur = v.copy()
+    active = np.ones(n, dtype=bool)
+    k = 0
+    while active.any():
+        byte = (cur & np.uint64(0x7F)).astype(np.uint8)
+        more = cur >= np.uint64(0x80)
+        byte[more] |= 0x80
+        idx = pos[active] + k
+        out[idx] = byte[active]
+        cur >>= np.uint64(7)
+        active = active & more
+        k += 1
+    return out.tobytes()
+
+
+def coalesce_runs_arrays(tid, off, length):
+    """Vectorized run-length coalesce for run_length==1 entry arrays sorted
+    by tile_id: same (offset, length) on consecutive tile_ids merge. Returns
+    (tid, off, length, run) arrays — identical output to
+    coalesce_run_lengths over the equivalent DirEntry list."""
+    import numpy as np
+
+    tid = np.asarray(tid, dtype=np.int64)
+    off = np.asarray(off, dtype=np.int64)
+    length = np.asarray(length, dtype=np.int64)
+    if len(tid) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    new = np.ones(len(tid), dtype=bool)
+    new[1:] = (
+        (off[1:] != off[:-1]) | (length[1:] != length[:-1])
+        | (tid[1:] != tid[:-1] + 1)
+    )
+    starts = np.flatnonzero(new)
+    runs = np.diff(np.append(starts, len(tid)))
+    return tid[starts], off[starts], length[starts], runs
+
+
+def encode_dir_columns(tid, off, length, run, prev_tid: int,
+                       prev_expected: int, first_global: bool):
+    """Columnar varint sections for a coalesced entry slice, given the
+    stream state before it (previous entry's tile_id and expected data
+    offset). Returns (tid_bytes, run_bytes, len_bytes, off_bytes) —
+    byte-identical to the corresponding slice of encode_directory."""
+    import numpy as np
+
+    tid = np.asarray(tid, dtype=np.int64)
+    off = np.asarray(off, dtype=np.int64)
+    length = np.asarray(length, dtype=np.int64)
+    run = np.asarray(run, dtype=np.int64)
+    if len(tid) == 0:
+        return b"", b"", b"", b""
+    prev = np.empty(len(tid), dtype=np.int64)
+    prev[0] = prev_tid
+    prev[1:] = tid[:-1]
+    expected = np.empty(len(tid), dtype=np.int64)
+    expected[0] = prev_expected
+    expected[1:] = off[:-1] + length[:-1]  # run_length >= 1 always
+    off_enc = np.where((off == expected), 0, off + 1).astype(np.uint64)
+    if first_global:
+        off_enc[0] = off[0] + 1  # entry 0 of the directory never uses 0
+    return (
+        varint_array_u64((tid - prev).astype(np.uint64)),
+        varint_array_u64(run.astype(np.uint64)),
+        varint_array_u64(length.astype(np.uint64)),
+        varint_array_u64(off_enc),
+    )

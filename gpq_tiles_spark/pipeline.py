@@ -1099,7 +1099,8 @@ def detect_hot_tiles(features: DataFrame, config: TilerConfig,
 def encode_tiles_salted(records: DataFrame, config: TilerConfig,
                         num_partitions: int | None = None,
                         hot_tile_ids: list[int] | None = None,
-                        metrics: PipelineMetrics | None = None) -> DataFrame:
+                        metrics: PipelineMetrics | None = None,
+                        by_range: bool = True) -> DataFrame:
     """Skew-safe two-phase encode [north-star: explicit salted repartitioning
     on hot tiles]. Hot tiles get their features split across salt_buckets
     sub-partitions for phase A, so no single reduce task ever owns a dense
@@ -1114,7 +1115,8 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
     if hot_tile_ids is None:
         raise ValueError("pass hot_tile_ids from detect_hot_tiles(features, config)")
     if not hot_tile_ids:
-        return encode_tiles(records, config, num_partitions, metrics=metrics)
+        return encode_tiles(records, config, num_partitions, metrics=metrics,
+                            by_range=by_range)
 
     # single-path: ONE pass over the fan-out; cold tiles carry salt=0 (one
     # bucket, phase B is a no-op wrap), hot tiles spread over salt_buckets.
@@ -1126,17 +1128,29 @@ def encode_tiles_salted(records: DataFrame, config: TilerConfig,
         F.when(is_hot, F.pmod(F.col("feature_id"), F.lit(config.salt_buckets)))
         .otherwise(F.lit(0)).cast("long"),
     )
-    shuffled = (
-        salted.repartitionByRange(parts, "tile_id", "salt")
-        if parts else salted.repartitionByRange("tile_id", "salt")
-    )
+    if by_range:
+        shuffled = (
+            salted.repartitionByRange(parts, "tile_id", "salt")
+            if parts else salted.repartitionByRange("tile_id", "salt")
+        )
+    else:
+        shuffled = (
+            salted.repartition(parts, "tile_id", "salt")
+            if parts else salted.repartition("tile_id", "salt")
+        )
     partials = shuffled.sortWithinPartitions("tile_id", "salt", "feature_id").mapInPandas(
         make_partial_encoder(config), schema=PARTIAL_SCHEMA
     )
-    merged_in = (
-        partials.repartitionByRange(parts, "tile_id")
-        if parts else partials.repartitionByRange("tile_id")
-    ).sortWithinPartitions("tile_id")
+    if by_range:
+        merged_in = (
+            partials.repartitionByRange(parts, "tile_id")
+            if parts else partials.repartitionByRange("tile_id")
+        ).sortWithinPartitions("tile_id")
+    else:
+        merged_in = (
+            partials.repartition(parts, "tile_id")
+            if parts else partials.repartition("tile_id")
+        ).sortWithinPartitions("tile_id")
     return merged_in.mapInPandas(make_merge_encoder(config, metrics), schema=TILES_SCHEMA)
 
 
@@ -1151,14 +1165,32 @@ def fanout_records(features: DataFrame, config: TilerConfig,
 
 def encode_tiles(records: DataFrame, config: TilerConfig,
                  num_partitions: int | None = None,
-                 metrics: PipelineMetrics | None = None) -> DataFrame:
-    """records -> per-tile MVT rows, via ONE range shuffle + in-partition sort."""
+                 metrics: PipelineMetrics | None = None,
+                 by_range: bool = True) -> DataFrame:
+    """records -> per-tile MVT rows, via ONE shuffle + in-partition sort.
+
+    ``by_range=True`` (default) range-partitions on tile_id: output
+    partitions are globally tile-ordered — required by the single-writer
+    sink's toLocalIterator stream. ``by_range=False`` hash-partitions
+    instead: the encoder only needs co-location + the in-partition sort,
+    and skipping the range exchange removes repartitionByRange's SAMPLING
+    JOB — which would otherwise execute the entire fan-out a second time
+    (or force persisting the multi-10-GB fan-out output just to avoid
+    that). The sharded sink uses this: its directory assembly re-orders
+    the tiny 40-byte entry rows in a separate range shuffle."""
     parts = num_partitions or config.shuffle_partitions
-    shuffled = (
-        records.repartitionByRange(parts, "tile_id")
-        if parts
-        else records.repartitionByRange("tile_id")
-    )
+    if by_range:
+        shuffled = (
+            records.repartitionByRange(parts, "tile_id")
+            if parts
+            else records.repartitionByRange("tile_id")
+        )
+    else:
+        shuffled = (
+            records.repartition(parts, "tile_id")
+            if parts
+            else records.repartition("tile_id")
+        )
     sorted_recs = shuffled.sortWithinPartitions("tile_id", "feature_id")
     return sorted_recs.mapInPandas(make_encoder(config, metrics), schema=TILES_SCHEMA)
 
@@ -1212,6 +1244,157 @@ SHARD_ENTRIES_SCHEMA = StructType(
         StructField("pid", IntegerType(), False),
     ]
 )
+
+# one row per range partition: raw boundary entries + varint-encoded
+# columnar sections for the interior (see _make_dir_chunk_encoder)
+DIR_CHUNK_SCHEMA = StructType(
+    [
+        StructField("cpid", IntegerType(), False),
+        StructField("n_coalesced", LongType(), False),
+        StructField("head_tid", ArrayType(LongType()), False),
+        StructField("head_off", ArrayType(LongType()), False),
+        StructField("head_len", ArrayType(LongType()), False),
+        StructField("head_run", ArrayType(LongType()), False),
+        StructField("body_tid", BinaryType(), False),
+        StructField("body_run", BinaryType(), False),
+        StructField("body_len", BinaryType(), False),
+        StructField("body_off", BinaryType(), False),
+        StructField("body_n", LongType(), False),
+        StructField("tail_tid", LongType(), False),   # -1 = absent
+        StructField("tail_off", LongType(), False),
+        StructField("tail_len", LongType(), False),
+        StructField("tail_run", LongType(), False),
+        StructField("mid_tid", LongType(), False),
+        StructField("mid_expected", LongType(), False),
+    ]
+)
+
+
+def _make_dir_chunk_encoder():
+    """Per-partition directory chunk encoder: coalesce run lengths and
+    varint-encode the four columnar sections for the partition's INTERIOR
+    entries (e2..e[n-2]) on the executor. The first two and last coalesced
+    entries ship raw: their wire encoding depends on the neighboring
+    chunk's state (tile_id delta base, offset 0-trick, and possible
+    cross-chunk run merge), which only the driver knows — everything else
+    is local because entry k's encoding depends only on entry k-1.
+    Driver work is then O(partitions), not O(tiles)."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels.pmtiles import coalesce_runs_arrays, encode_dir_columns
+
+        tids: list[np.ndarray] = []
+        offs: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        cpid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cpid is None:
+                cpid = int(pdf["cpid"].iloc[0])
+            tids.append(pdf["tile_id"].to_numpy(dtype=np.int64))
+            offs.append(pdf["off"].to_numpy(dtype=np.int64))
+            lens.append(pdf["len"].to_numpy(dtype=np.int64))
+        if cpid is None:
+            return
+        ct, co, cl, cr = coalesce_runs_arrays(
+            np.concatenate(tids), np.concatenate(offs), np.concatenate(lens)
+        )
+        n = len(ct)
+        if n <= 3:
+            h = slice(0, n)
+            body = (b"", b"", b"", b"")
+            body_n = 0
+            tail = (-1, -1, -1, -1)
+            mid = (0, 0)
+        else:
+            h = slice(0, 2)
+            body = encode_dir_columns(
+                ct[2:n - 1], co[2:n - 1], cl[2:n - 1], cr[2:n - 1],
+                prev_tid=int(ct[1]), prev_expected=int(co[1] + cl[1]),
+                first_global=False,
+            )
+            body_n = n - 3
+            tail = (int(ct[n - 1]), int(co[n - 1]), int(cl[n - 1]), int(cr[n - 1]))
+            mid = (int(ct[n - 2]), int(co[n - 2] + cl[n - 2]))
+        yield pd.DataFrame({
+            "cpid": [cpid], "n_coalesced": [n],
+            "head_tid": [ct[h].tolist()], "head_off": [co[h].tolist()],
+            "head_len": [cl[h].tolist()], "head_run": [cr[h].tolist()],
+            "body_tid": [body[0]], "body_run": [body[1]],
+            "body_len": [body[2]], "body_off": [body[3]],
+            "body_n": [body_n],
+            "tail_tid": [tail[0]], "tail_off": [tail[1]],
+            "tail_len": [tail[2]], "tail_run": [tail[3]],
+            "mid_tid": [mid[0]], "mid_expected": [mid[1]],
+        })
+
+    return enc
+
+
+def _assemble_directory_from_chunks(chunk_rows) -> tuple[bytes, int]:
+    """Driver-side stitch of executor-encoded directory chunks: walks the
+    chunks in tile-range order, run-merges raw boundary entries across
+    chunk borders, scalar-encodes only those boundary entries, and
+    concatenates the executor section bytes column-wise. Memory and work
+    are O(chunks). Returns (directory bytes, coalesced entry count) —
+    byte-identical to encode_directory over the global entry list."""
+    from .kernels.pmtiles import encode_varint
+
+    cols = {"tid": bytearray(), "run": bytearray(),
+            "len": bytearray(), "off": bytearray()}
+    pending: list[list[int]] = []  # [tid, off, len, run]
+    state_tid = 0
+    state_exp = 0
+    first_global = True
+    n_total = 0
+
+    def push(e: list[int]) -> None:
+        if pending:
+            a = pending[-1]
+            if e[1] == a[1] and e[2] == a[2] and e[0] == a[0] + a[3]:
+                a[3] += e[3]
+                return
+        pending.append(e)
+
+    def flush(keep_last: bool) -> None:
+        nonlocal state_tid, state_exp, first_global, n_total
+        upto = len(pending) - (1 if keep_last else 0)
+        for e in pending[:upto]:
+            encode_varint(e[0] - state_tid, cols["tid"])
+            encode_varint(e[3], cols["run"])
+            encode_varint(e[2], cols["len"])
+            if not first_global and e[1] == state_exp:
+                encode_varint(0, cols["off"])
+            else:
+                encode_varint(e[1] + 1, cols["off"])
+            state_tid = e[0]
+            state_exp = e[1] + e[2]
+            first_global = False
+            n_total += 1
+        del pending[:upto]
+
+    for r in sorted(chunk_rows, key=lambda r: r.cpid):
+        for tid, off, ln, run in zip(r.head_tid, r.head_off,
+                                     r.head_len, r.head_run):
+            push([int(tid), int(off), int(ln), int(run)])
+        if r.body_n > 0:
+            flush(keep_last=False)  # sections assume prev == this chunk's e1
+            cols["tid"] += bytes(r.body_tid)
+            cols["run"] += bytes(r.body_run)
+            cols["len"] += bytes(r.body_len)
+            cols["off"] += bytes(r.body_off)
+            n_total += int(r.body_n)
+            state_tid = int(r.mid_tid)
+            state_exp = int(r.mid_expected)
+            push([int(r.tail_tid), int(r.tail_off),
+                  int(r.tail_len), int(r.tail_run)])
+        flush(keep_last=True)  # only the last entry can merge with the future
+    flush(keep_last=False)
+    head = bytearray()
+    encode_varint(n_total, head)
+    return bytes(head) + bytes(cols["tid"]) + bytes(cols["run"]) \
+        + bytes(cols["len"]) + bytes(cols["off"]), n_total
 
 
 def _make_shard_writer(shard_dir: str, codec: int):
@@ -1289,10 +1472,201 @@ def _make_shard_writer(shard_dir: str, codec: int):
     return write
 
 
+def _finalize_sharded_distributed(entries_df: DataFrame,
+                                  output_path: str, shard_dir: str,
+                                  bounds: tuple, config: TilerConfig,
+                                  codec: int) -> dict:
+    """Distributed archive finalize: cross-shard blob dedup, final data
+    offsets, and directory varint encoding all run ON EXECUTORS; the driver
+    keeps O(shards + partitions) state (chunk boundary entries, per-shard
+    base offsets) and streams the winner-blob list for the sequential file
+    concat. At 10^8+ tiles the driver never materializes the entry list —
+    the round-2 review's remaining driver-memory obligation.
+
+    Byte-identical to the single-writer archive: the winner of a duplicated
+    blob is its first occurrence in tile order ((pid, local_off) order —
+    pids ascend with the range partitioning), data bytes concatenate in
+    that order, and the directory bytes equal encode_directory over the
+    global coalesced entry list (tested)."""
+    import os
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .kernels import pmtiles as P
+
+    spark = entries_df.sparkSession
+    entries = entries_df.persist(StorageLevel.DISK_ONLY)
+    agg = entries.agg(
+        F.count("*").alias("n"), F.min("z"), F.max("z"), F.sum("n_features")
+    ).collect()[0]
+    n_addressed = int(agg[0] or 0)
+    total_features = int(agg[3] or 0)
+    zmin = int(agg[1]) if agg[1] is not None else config.min_zoom
+    zmax = int(agg[2]) if agg[2] is not None else config.max_zoom
+
+    root_dir_bytes = b""
+    n_coalesced = 0
+    n_blobs = 0
+    data_len = 0
+    features_per_zoom: dict[int, int] = {}
+    copy_plan = None
+    if n_addressed:
+        features_per_zoom = {
+            int(r[0]): int(r[1])
+            for r in entries.groupBy("z").agg(F.sum("n_features")).collect()
+        }
+        # winner blob per (content_hash, raw_len): first occurrence in
+        # GLOBAL TILE ORDER = the entry with the minimum tile_id (exact
+        # single-writer semantics; tile_ids are unique per entry, so no
+        # tie-break is needed). Partitioning of the heavy shuffle is hash,
+        # so (pid, local_off) carries no global order — tile_id does.
+        winners = (
+            entries.groupBy("content_hash", "raw_len")
+            .agg(
+                F.min("tile_id").alias("win_tile"),
+                F.min_by(F.struct("pid", "local_off", "blob_len"),
+                         F.col("tile_id")).alias("w"),
+            )
+            .select("content_hash", "raw_len", "win_tile",
+                    F.col("w.pid").alias("pid"),
+                    F.col("w.local_off").alias("local_off"),
+                    F.col("w.blob_len").alias("blob_len"))
+            .repartitionByRange(max(config.shuffle_partitions or 8, 8),
+                                "win_tile")
+            .sortWithinPartitions("win_tile")
+            .withColumn("wpid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # two-phase prefix sum over win_tile order: per-range-partition
+        # totals to the driver (O(partitions)), cumulative bases back in
+        per_part = winners.groupBy("wpid").agg(
+            F.sum("blob_len").alias("bytes"), F.count("*").alias("cnt")
+        ).orderBy("wpid").collect()
+        base_rows = []
+        acc = 0
+        for r in per_part:
+            base_rows.append((int(r["wpid"]), acc))
+            acc += int(r["bytes"])
+            n_blobs += int(r["cnt"])
+        data_len = acc
+        base_df = spark.createDataFrame(base_rows, "wpid int, base long")
+        wpref = (
+            Window.partitionBy("wpid").orderBy("win_tile")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        woffs = (
+            winners
+            .withColumn("prefix",
+                        F.coalesce(F.sum("blob_len").over(wpref), F.lit(0)))
+            .join(F.broadcast(base_df), "wpid")
+            .select(
+                "content_hash", "raw_len",
+                (F.col("base") + F.col("prefix")).alias("final_off"),
+                F.col("blob_len").alias("final_len"),
+            )
+        )
+        # final directory entries: one range shuffle of 24-byte rows, then
+        # per-partition coalesce + varint encode on the executors
+        parts = config.shuffle_partitions
+        ent = (
+            entries.select("tile_id", "content_hash", "raw_len")
+            .join(woffs, ["content_hash", "raw_len"])
+            .select("tile_id", F.col("final_off").alias("off"),
+                    F.col("final_len").alias("len"))
+        )
+        ent = (
+            ent.repartitionByRange(parts, "tile_id")
+            if parts else ent.repartitionByRange("tile_id")
+        ).sortWithinPartitions("tile_id")
+        chunk_rows = ent.withColumn(
+            "cpid", F.spark_partition_id()
+        ).mapInPandas(_make_dir_chunk_encoder(), schema=DIR_CHUNK_SCHEMA).collect()
+        root_dir_bytes, n_coalesced = _assemble_directory_from_chunks(chunk_rows)
+        # stream the winner list in win_tile order (== final data offset
+        # order) for the copy loop — O(1) driver memory; blobs are read
+        # from their shard files by (pid, local_off) seeks
+        copy_plan = (
+            winners.select("pid", "local_off", "blob_len")
+            .orderBy("win_tile")
+        )
+    else:
+        head = bytearray()
+        P.encode_varint(0, head)
+        root_dir_bytes = bytes(head)
+
+    root_dir = P.compress(root_dir_bytes, P.COMPRESSION_GZIP)
+    tilestats = {
+        "total_features": total_features,
+        "features_per_zoom": {str(k): v
+                              for k, v in sorted(features_per_zoom.items())},
+    }
+    meta = P.compress(
+        P.metadata_json(config.layer_name, config.min_zoom, config.max_zoom,
+                        {}, tilestats),
+        P.COMPRESSION_GZIP,
+    )
+    hdr = P.Header(
+        root_dir_offset=P.HEADER_SIZE,
+        root_dir_length=len(root_dir),
+        json_metadata_offset=P.HEADER_SIZE + len(root_dir),
+        json_metadata_length=len(meta),
+        tile_data_offset=P.HEADER_SIZE + len(root_dir) + len(meta),
+        tile_data_length=data_len,
+        addressed_tiles_count=n_addressed,
+        tile_entries_count=n_coalesced,
+        tile_contents_count=n_blobs,
+        clustered=True,
+        internal_compression=P.COMPRESSION_GZIP,
+        tile_compression=codec,
+        tile_type=P.TILETYPE_MVT,
+        min_zoom=zmin,
+        max_zoom=zmax,
+        min_lon=bounds[0] if n_addressed else -180.0,
+        min_lat=bounds[1] if n_addressed else -85.0,
+        max_lon=bounds[2] if n_addressed else 180.0,
+        max_lat=bounds[3] if n_addressed else 85.0,
+    )
+    with open(output_path, "wb") as out_f:
+        out_f.write(hdr.to_bytes())
+        out_f.write(root_dir)
+        out_f.write(meta)
+        if copy_plan is not None:
+            handles: dict[int, object] = {}  # small LRU of open shard files
+            try:
+                for r in copy_plan.toLocalIterator():
+                    pid = int(r["pid"])
+                    sf = handles.get(pid)
+                    if sf is None:
+                        if len(handles) >= 64:
+                            _, old = handles.popitem()
+                            old.close()
+                        sf = handles[pid] = open(os.path.join(
+                            shard_dir, f"shard_{pid:05d}.bin"), "rb")
+                    sf.seek(r["local_off"])
+                    out_f.write(sf.read(r["blob_len"]))
+            finally:
+                for sf in handles.values():
+                    sf.close()
+    if n_addressed:
+        winners.unpersist()
+    entries.unpersist()
+    return {
+        "tiles": n_addressed,
+        "features": total_features,
+        "min_zoom": hdr.min_zoom,
+        "max_zoom": hdr.max_zoom,
+        "unique_blobs": n_blobs,
+        "bounds": bounds,
+    }
+
+
 def convert_sharded(features: DataFrame, output_path: str,
                     config: TilerConfig | None = None,
                     bounds: tuple[float, float, float, float] | None = None,
-                    shard_dir: str | None = None) -> dict:
+                    shard_dir: str | None = None,
+                    distributed_directory: bool = True,
+                    salted: bool = False) -> dict:
     """Scale-out sink: executors write per-range shard files (compressed
     blobs, in-shard dedup), the driver concatenates live byte ranges and
     writes the directory — output byte-identical to ``convert``'s
@@ -1300,8 +1674,22 @@ def convert_sharded(features: DataFrame, output_path: str,
 
     This removes the two driver bottlenecks of the streaming sink named in
     the round-1 review: per-blob gzip on the driver, and all tile bytes
-    crossing one NIC. The driver handles only 40-byte entry rows (the same
-    asymptotics as the reference's entry list) plus sequential file concat.
+    crossing one NIC. With ``distributed_directory=True`` (default) the
+    THIRD obligation goes too: cross-shard blob dedup, final data offsets,
+    and directory varint encoding all run on executors
+    (_finalize_sharded_distributed) — driver state is O(shards+partitions)
+    and the winner-blob copy list streams via toLocalIterator, so 10^8+
+    tile archives never materialize an entry list on the driver.
+    ``distributed_directory=False`` keeps the original collect-everything
+    finalize (same bytes; useful as a differential oracle).
+
+    Cross-shard duplicate blobs: a blob first seen in shard A and again in
+    shard B is compressed and written into BOTH shard files (in-shard dedup
+    only), but only the first occurrence's range is concatenated into the
+    archive. This is a deliberate trade: total compression work equals the
+    reference's single writer, and avoiding it would need an extra global
+    pre-pass over uncompressed tile bytes that costs more than the dead
+    shard bytes it saves (temp shards are deleted after assembly).
 
     ``shard_dir`` must be storage visible to BOTH executors and the driver
     (NFS/fuse mount on a real cluster). The default driver-local tempdir is
@@ -1334,11 +1722,43 @@ def convert_sharded(features: DataFrame, output_path: str,
 
     from pyspark import StorageLevel
 
-    records = fanout_records(features, config).persist(StorageLevel.MEMORY_AND_DISK)
-    tiles = encode_tiles(records, config)
     codec = P.CODEC_BY_NAME[config.tile_compression]
     own_dir = shard_dir is None
     shard_dir = shard_dir or tempfile.mkdtemp(prefix="gpq_shards_")
+    if distributed_directory:
+        # NO persist and NO range exchange on the heavy data: a hash
+        # shuffle on tile_id co-locates each tile (the encoder's only
+        # requirement), so the fan-out executes exactly once as the
+        # shuffle map stage — repartitionByRange would add a sampling job
+        # that re-executes it (or forces caching the multi-10-GB fan-out
+        # output to disk just to sample it). Global tile order is restored
+        # later on the 40-byte entry rows only.
+        records = fanout_records(features, config)
+        if salted:
+            hot = detect_hot_tiles(features, config)
+            tiles = encode_tiles_salted(records, config, hot_tile_ids=hot,
+                                        by_range=False)
+        else:
+            tiles = encode_tiles(records, config, by_range=False)
+        entries_df = tiles.withColumn(
+            "pid", F.spark_partition_id()
+        ).mapInPandas(_make_shard_writer(shard_dir, codec),
+                      schema=SHARD_ENTRIES_SCHEMA)
+        result = _finalize_sharded_distributed(
+            entries_df, output_path, shard_dir, bounds, config, codec)
+        if own_dir:
+            shutil.rmtree(shard_dir, ignore_errors=True)
+        return result
+
+    # legacy collect-everything finalize (differential oracle): range
+    # partitioning + DISK_ONLY persist (the disk store streams the
+    # iterator; a memory-store block must fully unroll on-heap first)
+    records = fanout_records(features, config).persist(StorageLevel.DISK_ONLY)
+    if salted:
+        hot = detect_hot_tiles(features, config)
+        tiles = encode_tiles_salted(records, config, hot_tile_ids=hot)
+    else:
+        tiles = encode_tiles(records, config)
     entries_df = tiles.withColumn("pid", F.spark_partition_id()).mapInPandas(
         _make_shard_writer(shard_dir, codec), schema=SHARD_ENTRIES_SCHEMA
     )
@@ -1429,7 +1849,8 @@ def convert_sharded(features: DataFrame, output_path: str,
 def convert(features: DataFrame, output_path: str, config: TilerConfig | None = None,
              bounds: tuple[float, float, float, float] | None = None,
              salted: bool = False,
-             progress: Callable[[ProgressEvent], None] | None = None) -> dict:
+             progress: Callable[[ProgressEvent], None] | None = None,
+             progress_poll_sec: float = 1.0) -> dict:
     """End-to-end: features DataFrame -> single .pmtiles at output_path.
 
     Returns summary stats (incl. accumulator-backed per-stage row counts).
@@ -1438,8 +1859,13 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
     pmtiles_writer.rs:1000-1019). ``progress`` receives ordered
     ProgressEvents (phase start/progress/complete, pipeline.rs:41-77 analog)
     — tile-stream progress fires every 8192 tiles with live accumulator
-    row counts.
+    row counts, and a driver-side poller thread additionally emits
+    'fanout' progress events (Phase1Progress analog, pipeline.rs:41-77)
+    every ``progress_poll_sec`` while the accumulators move, so the longest
+    phase is visible before the first tile reaches the driver.
     """
+    import threading
+
     from .kernels import pmtiles as P
 
     def emit(phase: str, kind: str, **info) -> None:
@@ -1468,7 +1894,7 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
     # the Spark analog of the reference writing phase-1 runs to disk before
     # its phase-2 external sort (external_sort.rs:99-189).
     records = fanout_records(features, config, metrics).persist(
-        StorageLevel.MEMORY_AND_DISK
+        StorageLevel.DISK_ONLY  # streams to disk; see convert_sharded note
     )
     if salted:
         hot = detect_hot_tiles(features, config)
@@ -1484,6 +1910,25 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         min_zoom=config.min_zoom,
         max_zoom=config.max_zoom,
     )
+    # fan-out phase progress: the fan-out executes lazily while the tile
+    # stream below drains, so poll the accumulators from a driver thread
+    # and emit a 'fanout' progress event whenever features_in advances
+    stop_poll = threading.Event()
+    poller = None
+    if progress is not None:
+        emit("fanout", "start")
+
+        def _poll() -> None:
+            last = -1
+            while not stop_poll.wait(progress_poll_sec):
+                cur = int(metrics.features_in.value)
+                if cur != last:
+                    last = cur
+                    emit("fanout", "progress", **metrics.as_dict())
+
+        poller = threading.Thread(target=_poll, daemon=True)
+        poller.start()
+
     emit("tiles", "start")
     n_tiles = 0
     for row in tiles.toLocalIterator(prefetchPartitions=True):
@@ -1491,6 +1936,10 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         n_tiles += 1
         if progress is not None and n_tiles % 8192 == 0:
             emit("tiles", "progress", tiles=n_tiles, **metrics.as_dict())
+    if poller is not None:
+        stop_poll.set()
+        poller.join()
+        emit("fanout", "complete", **metrics.as_dict())
     emit("tiles", "complete", tiles=n_tiles, **metrics.as_dict())
     records.unpersist()
     asm.bounds = [bounds[0], bounds[1], bounds[2], bounds[3]]

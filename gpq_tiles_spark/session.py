@@ -30,8 +30,11 @@ def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
         # heap cap, so this also sizes the Arrow transfer pool that the
         # vertex-heavy fan-out batches go through. On a real cluster these
         # come from spark-submit conf instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # DISK_ONLY persists + RDD spills are uncompressed by default;
+        # lz4 halves the on-disk footprint of coordinate-heavy WKB records
+        .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
     )
     return b.getOrCreate()

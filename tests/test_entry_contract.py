@@ -70,9 +70,8 @@ def test_rows_only_queries_run(spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     rows_only = [k for k in qs if k not in oracles]
-    assert set(rows_only) == {"hilbert_order", "minhash_neardup", "tile_pipeline_z8"}
+    # minhash_neardup graduated to an oracle-backed recall invariant in r3
+    assert set(rows_only) == {"hilbert_order", "tile_pipeline_z8"}
     for name in rows_only:
         n = qs[name](spark, SF_DIR).count()
-        assert n >= 0, name
-        if name in ("hilbert_order", "tile_pipeline_z8"):
-            assert n > 0, name
+        assert n > 0, name

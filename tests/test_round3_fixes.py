@@ -204,3 +204,139 @@ def test_embedding_neardup_exact_guard(spark, monkeypatch):
     n = S.embedding_near_duplicates(vecs, threshold=0.999999,
                                     force_exact=True).count()
     assert n > 0
+
+
+def test_convert_fanout_progress_events(spark, docs_table, tmp_path):
+    """The longest phase must be visible: convert(progress=...) emits
+    fanout progress events (accumulator-poller) with monotonically
+    increasing features_in, bracketed by fanout start/complete."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import convert
+
+    events = []
+    feats = extract_features(spark.read.parquet(docs_table))
+    cfg = TilerConfig(min_zoom=0, max_zoom=9, shuffle_partitions=4)
+    convert(feats, str(tmp_path / "prog.pmtiles"), cfg,
+            progress=events.append, progress_poll_sec=0.02)
+    kinds = [(e.phase, e.kind) for e in events]
+    assert kinds.index(("fanout", "start")) < kinds.index(("tiles", "start"))
+    assert kinds.index(("fanout", "complete")) < kinds.index(("tiles", "complete"))
+    fp = [e for e in events if e.phase == "fanout" and e.kind == "progress"]
+    assert len(fp) >= 1, f"no fanout progress events in {kinds}"
+    seq = [e.info["features_in"] for e in fp]
+    assert seq == sorted(seq) and seq[-1] > 0
+    comp = [e for e in events if e.phase == "fanout" and e.kind == "complete"][0]
+    assert comp.info["features_in"] == feats.count()
+
+
+def test_pyfiles_zip_ships_gated_extras(tmp_path):
+    """The --py-files zip must carry every gated module so an environment
+    WITH the optional libs activates codec 4/3 + real H3 with zero code
+    change: import the package FROM THE ZIP (zipimport, like executors do)
+    and exercise the gates."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from package_pyfiles import build
+    finally:
+        sys.path.pop(0)
+    zp = build(str(tmp_path / "pkg.zip"))
+    code = """
+import sys
+sys.path.insert(0, sys.argv[1])
+# drop the repo checkout so the zip is the only source
+sys.path = [p for p in sys.path if not p.rstrip('/').endswith('repo')]
+import gpq_tiles_spark.extras as X
+assert not __import__('gpq_tiles_spark').__file__ or 'pkg.zip' in __import__('gpq_tiles_spark').__file__
+avail = X.available()
+assert set(avail) == {'zstd', 'brotli', 'h3'}, avail
+from gpq_tiles_spark.kernels import pmtiles as P
+assert P.compress(b'x' * 64, P.COMPRESSION_GZIP)  # baseline codec works
+for name, codec in (('zstd', P.COMPRESSION_ZSTD), ('brotli', P.COMPRESSION_BROTLI)):
+    if avail[name]:
+        assert P.compress(b'x' * 64, codec)
+    else:
+        try:
+            P.compress(b'x' * 64, codec)
+        except NotImplementedError as e:
+            assert name in str(e).lower() or 'codec' in str(e).lower()
+        else:
+            raise AssertionError(f'{name} gate did not trip')
+from gpq_tiles_spark.operators import cells as C
+print('ZIP-GATES-OK')
+"""
+    r = subprocess.run([sys.executable, "-c", code, zp],
+                       capture_output=True, text=True, cwd=str(tmp_path))
+    assert "ZIP-GATES-OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_distributed_directory_assembly_parity(spark):
+    """Executor-chunked directory encode + driver stitch must be
+    byte-identical to encode_directory over the global entry list —
+    including runs that cross chunk (partition) boundaries."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.kernels.pmtiles import (
+        DirEntry, coalesce_run_lengths, encode_directory)
+    from gpq_tiles_spark.pipeline import (
+        DIR_CHUNK_SCHEMA, _assemble_directory_from_chunks,
+        _make_dir_chunk_encoder)
+
+    rng = np.random.default_rng(23)
+
+    def run_case(tids, offs, lens, parts):
+        df = spark.createDataFrame(
+            list(zip(map(int, tids), map(int, offs), map(int, lens))),
+            "tile_id long, off long, len long",
+        )
+        ent = df.repartitionByRange(parts, "tile_id").sortWithinPartitions(
+            "tile_id")
+        rows = ent.withColumn("cpid", F.spark_partition_id()).mapInPandas(
+            _make_dir_chunk_encoder(), schema=DIR_CHUNK_SCHEMA).collect()
+        got, n = _assemble_directory_from_chunks(rows)
+        order = np.argsort(tids)
+        want_entries = coalesce_run_lengths([
+            DirEntry(int(tids[i]), int(offs[i]), int(lens[i]), 1)
+            for i in order
+        ])
+        want = encode_directory(want_entries)
+        assert n == len(want_entries)
+        assert got == want
+
+    # 1: one giant run spanning every partition (all-same blob, consecutive)
+    n = 5000
+    run_case(np.arange(n), np.zeros(n), np.full(n, 77), parts=8)
+    # 2: random blobs, some repeats, scattered tile ids
+    tids = np.sort(rng.choice(200_000, 30_000, replace=False))
+    blob = rng.integers(0, 400, 30_000)
+    run_case(tids, blob * 1000, np.full(30_000, 1000), parts=12)
+    # 3: contiguous ids with blocky repeated blobs -> many boundary merges
+    tids = np.arange(20_000)
+    blob = tids // 37
+    run_case(tids, blob * 64, np.full(20_000, 64), parts=16)
+    # 4: tiny partitions (n_coalesced <= 3 per chunk paths)
+    tids = np.arange(40)
+    run_case(tids, tids * 10, np.full(40, 10), parts=20)
+
+
+def test_convert_sharded_salted_byte_identical(spark, docs_table, tmp_path):
+    """salted + hash-partitioned + distributed-directory sharded sink must
+    still produce the exact single-writer archive bytes."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import convert, convert_sharded
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    cfg = TilerConfig(min_zoom=0, max_zoom=7, shuffle_partitions=4,
+                      hot_tile_threshold=50, salt_buckets=4)
+    p1 = str(tmp_path / "single.pmtiles")
+    p2 = str(tmp_path / "sharded_salted.pmtiles")
+    s1 = convert(feats, p1, cfg)
+    s2 = convert_sharded(feats, p2, cfg, salted=True)
+    assert s1["tiles"] == s2["tiles"]
+    assert s1["unique_blobs"] == s2["unique_blobs"]
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
