@@ -249,19 +249,17 @@ def run_adm4_anchor(cores: int = 32) -> dict:
     # side under ~15 GB at local[32].
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     feats = spark.read.parquet(path)
-    # salted: the NL box fits in ONE tile at z<=6, so unsalted encode would
-    # hand single tasks ~3 GB tile runs (363k features x ~8 KB simplified
-    # WKB). Hot tiles (> 8192 features) split across 32 salt buckets for
-    # phase A; phase B merges encoded feature MESSAGES (~7x smaller than
-    # WKB). This is the north-star "explicit salted repartitioning on hot
-    # tiles" exercised at its actual scale.
-    cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores,
-                      hot_tile_threshold=8192, salt_buckets=32)
+    # premerge (default): feature messages are encoded on the MAP side, so
+    # the one wide shuffle carries zigzag-varint messages (~5-8x smaller
+    # than the 550-vertex f64 WKB) and the reduce side just sorts +
+    # concatenates — which also dissolves the mid-zoom mega-tile skew (the
+    # NL box fits in ONE tile at z<=6): the mega-tile reduce task is a
+    # bytes concat + gzip, not 3 GB of geometry encoding.
+    cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores)
     t0 = time.perf_counter()
     # sharded sink: executor-parallel blob compression, byte-identical
     # archive (tests/test_pipeline_e2e.py::test_convert_sharded_byte_identical)
-    stats = convert_sharded(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg,
-                            salted=True)
+    stats = convert_sharded(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg)
     dt = time.perf_counter() - t0
     fixture_bytes = sum(
         os.path.getsize(os.path.join(path, f))

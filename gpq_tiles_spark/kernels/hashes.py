@@ -108,6 +108,81 @@ def siphash13_coords(coords_list: list[np.ndarray]) -> int:
     return siphash13(bytes(buf))
 
 
+def _sipround_vec(v0, v1, v2, v3):
+    """One SipHash round over uint64 numpy lanes (wrapping adds/rotls)."""
+    s13, s16, s17, s21, s32 = (np.uint64(13), np.uint64(16), np.uint64(17),
+                               np.uint64(21), np.uint64(32))
+    c13, c16, c17, c21, c32 = (np.uint64(51), np.uint64(48), np.uint64(47),
+                               np.uint64(43), np.uint64(32))
+    v0 = v0 + v1
+    v1 = ((v1 << s13) | (v1 >> c13)) ^ v0
+    v0 = (v0 << s32) | (v0 >> c32)
+    v2 = v2 + v3
+    v3 = ((v3 << s16) | (v3 >> c16)) ^ v2
+    v0 = v0 + v3
+    v3 = ((v3 << s21) | (v3 >> c21)) ^ v0
+    v2 = v2 + v1
+    v1 = ((v1 << s17) | (v1 >> c17)) ^ v2
+    v2 = (v2 << s32) | (v2 >> c32)
+    return v0, v1, v2, v3
+
+
+def siphash13_words_many(word_msgs: list[np.ndarray],
+                         k0: int = 0, k1: int = 0) -> np.ndarray:
+    """Lockstep-vectorized SipHash-1-3 over MANY word-aligned messages.
+
+    Each entry is the message as little-endian uint64 words (byte length
+    = 8 * len(words), i.e. ``len(data) % 8 == 0`` — the geometry-hash case:
+    f64 coordinate bit patterns ARE the words). Bit-identical to
+    ``siphash13(words.tobytes())`` per message. All lanes advance one word
+    per column with numpy uint64 ops; lanes whose message has ended stop
+    updating (state masked) — ~20 numpy ops per column over the whole
+    batch instead of one Python sipround per word per message.
+    """
+    n = len(word_msgs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    nw = np.array([len(w) for w in word_msgs], dtype=np.int64)
+    max_w = int(nw.max()) if n else 0
+    mat = np.zeros((n, max_w), dtype=np.uint64)
+    for i, w in enumerate(word_msgs):
+        mat[i, : len(w)] = w
+    v0 = np.full(n, np.uint64(k0 ^ 0x736F6D6570736575), dtype=np.uint64)
+    v1 = np.full(n, np.uint64(k1 ^ 0x646F72616E646F6D), dtype=np.uint64)
+    v2 = np.full(n, np.uint64(k0 ^ 0x6C7967656E657261), dtype=np.uint64)
+    v3 = np.full(n, np.uint64(k1 ^ 0x7465646279746573), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(max_w):
+            act = col < nw
+            m = mat[:, col]
+            n0, n1, n2, n3 = _sipround_vec(v0, v1, v2, v3 ^ m)
+            n0 = n0 ^ m
+            v0 = np.where(act, n0, v0)
+            v1 = np.where(act, n1, v1)
+            v2 = np.where(act, n2, v2)
+            v3 = np.where(act, n3, v3)
+        # last block: no remainder bytes, just (len & 0xFF) << 56
+        last = ((nw.astype(np.uint64) * np.uint64(8)) & np.uint64(0xFF)) << np.uint64(56)
+        v0, v1, v2, v3 = _sipround_vec(v0, v1, v2, v3 ^ last)
+        v0 = v0 ^ last
+        v2 = v2 ^ np.uint64(0xFF)
+        for _ in range(3):
+            v0, v1, v2, v3 = _sipround_vec(v0, v1, v2, v3)
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+def coords_words(rings: list[np.ndarray]) -> np.ndarray:
+    """The geometry-hash message of ``siphash13_coords`` as uint64 words:
+    row-major (x, y) f64 bit patterns of every ring in order."""
+    if len(rings) == 1:
+        return np.ascontiguousarray(
+            np.asarray(rings[0], dtype=np.float64)).view(np.uint64).ravel()
+    return np.concatenate([
+        np.ascontiguousarray(np.asarray(r, dtype=np.float64)).view(np.uint64).ravel()
+        for r in rings
+    ]) if rings else np.empty(0, dtype=np.uint64)
+
+
 def content_hash64(data: bytes) -> int:
     """64-bit content key for tile dedup (X1). The reference uses XXH3-64
     (dedup.rs:48-59); dedup semantics (identical bytes -> identical key) are

@@ -86,6 +86,96 @@ def _canonical_rect_msg_tail(lng0: float, lat0: float, lng1: float,
     return _tag(3, 0) + _varint(gtype) + _packed_u32(4, cmds)
 
 
+def encode_record_msgs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
+                       extent: int, buffer_px: float = 8.0) -> list[bytes]:
+    """Per-RECORD framed feature messages (premerge map-side encode).
+
+    Input records may be in ANY order (fan-out output frames, pre-shuffle).
+    Each record is encoded against its own tile's bounds into the framed
+    message ``[0x12][varint(len)][body]`` — byte-identical to the slice this
+    record would occupy in ``encode_sorted_runs``'s per-tile body, because
+    the MVT cursor resets per feature and message bytes depend only on
+    (fid, geometry, tile bounds). Dead records (nothing encodable) return
+    ``b""`` and still occupy a row, so downstream per-tile record counts
+    match the single-phase encoder exactly. Returns a list of length n.
+    """
+    n = len(tid)
+    if n == 0:
+        return []
+    uniq_tid, gidx = np.unique(tid, return_inverse=True)
+    g_z, g_x, g_y = Hc.tile_id_to_zxy_vec(uniq_tid)
+    lng0, lat0, lng1, lat1 = T.tile_bounds_mixed(g_x, g_y, g_z)
+
+    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
+    buf8, woffs, wkb_cat = _concat_wkbs(wkbs, lens)
+    is_pt, px, py = _bulk_points(buf8, woffs, lens, gidx,
+                                 lng0, lat0, lng1, lat1, extent, wkb_cat)
+    is_p1, p1_start, p1_npts, p1_inter = _bulk_poly1(
+        buf8, woffs, wkb_cat, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    is_ls, ls_start, ls_npts, ls_inter = _bulk_lines(
+        buf8, woffs, wkb_cat, gidx, lens, lng0, lat0, lng1, lat1, extent)
+    p1_idx = np.full(n, -1, dtype=np.int64)
+    p1_buf = b""
+    p1_boff = p1_blen = None
+    if is_p1.any():
+        p1_rows = np.flatnonzero(is_p1)
+        p1_idx[p1_rows] = np.arange(len(p1_rows))
+        p1_buf, p1_boff, p1_blen = _batch_geom_fields(
+            p1_start, p1_npts, p1_rows, p1_inter, "poly")
+    ls_idx = np.full(n, -1, dtype=np.int64)
+    ls_buf = b""
+    ls_boff = ls_blen = None
+    if is_ls.any():
+        ls_rows = np.flatnonzero(is_ls)
+        ls_idx[ls_rows] = np.arange(len(ls_rows))
+        ls_buf, ls_boff, ls_blen = _batch_geom_fields(
+            ls_start, ls_npts, ls_rows, ls_inter, "line")
+
+    zzx = (((px << 1) ^ (px >> 63)) & 0xFFFFFFFF).astype(np.uint64)
+    zzy = (((py << 1) ^ (py >> 63)) & 0xFFFFFFFF).astype(np.uint64)
+
+    buf, rec_off, _ms, _ml, _lv = _assemble_feature_messages(
+        n, fid, wkbs, lens, gidx, lng0, lat0, lng1, lat1, extent, buffer_px,
+        is_pt, zzx, zzy,
+        is_p1, p1_idx, p1_buf, p1_boff, p1_blen,
+        is_ls, ls_idx, ls_buf, ls_boff, ls_blen,
+    )
+    bb = buf.tobytes()
+    ro = rec_off
+    return [bb[ro[i]:ro[i + 1]] for i in range(n)]
+
+
+def wrap_sorted_msgs(tid: np.ndarray, msgs, layer_name: str, extent: int):
+    """Reduce-side premerge wrap: consecutive (tile_id-sorted) runs of
+    framed messages -> per-tile MVT rows. ``n_features`` counts ALL records
+    of the run (dead records ship as b"" rows), matching
+    ``encode_sorted_runs``. Returns the TILES_SCHEMA column dict."""
+    n = len(tid)
+    starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+    ends = np.append(starts[1:], n)
+    g_tid = tid[starts]
+    g_z, g_x, g_y = Hc.tile_id_to_zxy_vec(g_tid)
+    head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
+    tail = b"\x28" + _varint(extent) + b"\x78\x02"
+    out_mvt: list[bytes] = []
+    out_hash: list[int] = []
+    for gi in range(len(starts)):
+        body = b"".join(msgs[starts[gi]:ends[gi]])
+        layer = head + body + tail
+        mvt = b"\x1a" + _varint(len(layer)) + layer
+        out_mvt.append(mvt)
+        out_hash.append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+    return {
+        "tile_id": g_tid,
+        "z": g_z.astype(np.int32),
+        "x": g_x,
+        "y": g_y,
+        "n_features": (ends - starts).astype(np.int64),
+        "mvt": out_mvt,
+        "content_hash": np.array(out_hash, dtype=np.int64),
+    }
+
+
 def encode_partial_runs(run_key: np.ndarray, tid: np.ndarray,
                         fid: np.ndarray, wkbs: np.ndarray,
                         extent: int, buffer_px: float = 8.0):

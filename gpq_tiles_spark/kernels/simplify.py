@@ -46,30 +46,94 @@ def _point_segment_dist(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nda
     return np.hypot(d[:, 0], d[:, 1])
 
 
+def rdp_keep_mask(pts: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                  epsilon: float) -> np.ndarray:
+    """Level-synchronous Ramer-Douglas-Peucker over MANY pieces at once.
+
+    ``pts`` is an (m, 2) concatenation of rings/lines; piece k spans
+    ``pts[starts[k]:ends[k]]``. Returns a boolean keep mask over the m
+    points, bit-identical to running the classic recursive RDP per piece:
+    the kept set is order-independent (each span's split point is a
+    deterministic function of its endpoints), so processing all open spans
+    of every piece in one vectorized wave per recursion LEVEL — segmented
+    distance computation + segmented first-argmax via ``reduceat`` —
+    reproduces the scalar result with O(log n) numpy passes instead of
+    one Python call per span (the scalar version degrades to ~one call
+    per VERTEX when epsilon keeps nearly everything, which is exactly the
+    max-zoom pre-simplify regime on vertex-dense input).
+    """
+    x = np.ascontiguousarray(pts[:, 0], dtype=np.float64)
+    y = np.ascontiguousarray(pts[:, 1], dtype=np.float64)
+    m = len(x)
+    keep = np.zeros(m, dtype=bool)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    ne = ends > starts
+    keep[starts[ne]] = True
+    keep[ends[ne] - 1] = True
+    # pieces with < 3 points keep everything (scalar rdp returns input)
+    two = ends - starts == 2
+    keep[starts[two]] = True  # already set; explicit for clarity
+    big = ends - starts >= 3
+    si = starts[big]
+    sj = ends[big] - 1
+    imax = np.iinfo(np.int64).max
+    while len(si):
+        lens = sj - si - 1  # interior points per span (>= 1)
+        tot = int(lens.sum())
+        span_of = np.repeat(np.arange(len(si), dtype=np.int64), lens)
+        base = np.zeros(len(si), dtype=np.int64)
+        np.cumsum(lens[:-1], out=base[1:])
+        pidx = si[span_of] + 1 + (np.arange(tot, dtype=np.int64) - base[span_of])
+        ax = x[si][span_of]
+        ay = y[si][span_of]
+        abx = x[sj][span_of] - ax
+        aby = y[sj][span_of] - ay
+        denom = abx * abx + aby * aby
+        apx = x[pidx] - ax
+        apy = y[pidx] - ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (apx * abx + apy * aby) / denom
+        np.clip(t, 0.0, 1.0, out=t)
+        # same fp op order as the scalar kernel: p - (a + t*ab)
+        dx = x[pidx] - (ax + t * abx)
+        dy = y[pidx] - (ay + t * aby)
+        d = np.hypot(dx, dy)
+        deg = denom == 0.0
+        if deg.any():
+            # a == b: plain point distance (matches _point_segment_dist)
+            d = np.where(deg, np.hypot(apx, apy), d)
+        smax = np.maximum.reduceat(d, base)
+        is_max = d == smax[span_of]
+        cand = np.where(is_max, pidx, imax)
+        kidx = np.minimum.reduceat(cand, base)  # FIRST max, like np.argmax
+        split = smax > epsilon
+        mids = kidx[split]
+        keep[mids] = True
+        nsi = np.concatenate([si[split], mids])
+        nsj = np.concatenate([mids, sj[split]])
+        open_ = nsj > nsi + 1
+        si = nsi[open_]
+        sj = nsj[open_]
+    return keep
+
+
 def rdp(coords: np.ndarray, epsilon: float) -> np.ndarray:
-    """Iterative (stack-based) Ramer-Douglas-Peucker, keeps endpoints.
+    """Ramer-Douglas-Peucker, keeps endpoints (single piece).
 
     Matches geo::Simplify: split where max perpendicular distance > epsilon.
+    Thin wrapper over the segmented ``rdp_keep_mask`` kernel.
     """
     pts = np.asarray(coords, dtype=np.float64)
     n = len(pts)
     if n < 3:
         return pts
-    keep = np.zeros(n, dtype=bool)
-    keep[0] = keep[-1] = True
-    stack = [(0, n - 1)]
-    while stack:
-        i, j = stack.pop()
-        if j <= i + 1:
-            continue
-        seg = pts[i + 1 : j]
-        dists = _point_segment_dist(seg, pts[i], pts[j])
-        k = int(np.argmax(dists))
-        if dists[k] > epsilon:
-            mid = i + 1 + k
-            keep[mid] = True
-            stack.append((i, mid))
-            stack.append((mid, j))
+    keep = rdp_keep_mask(
+        pts.reshape(-1, 2),
+        np.array([0], dtype=np.int64),
+        np.array([n], dtype=np.int64),
+        epsilon,
+    )
     return pts[keep]
 
 
@@ -105,6 +169,67 @@ def simplify_for_zoom(g: Geom, zoom: int, extent: int,
     if t == 7:  # GEOMETRYCOLLECTION: simplify each part at the same zoom
         return (7, [simplify_for_zoom(p, zoom, extent, algorithm) for p in d])
     return g
+
+
+def simplify_many(geoms: list[Geom], zoom: int, extent: int,
+                  algorithm: str = "dp") -> list[Geom]:
+    """Batched ``simplify_for_zoom``: every ring/line of every geometry goes
+    through ONE segmented ``rdp_keep_mask`` call (identical results — the
+    kernel is bit-identical per piece and pieces are independent).
+    Non-DP algorithms and collections fall back to the scalar path."""
+    tol = zoom_tolerance_degrees(zoom, extent)
+    if tol < 1e-10:
+        return list(geoms)
+    if algorithm != "dp":
+        return [simplify_for_zoom(g, zoom, extent, algorithm) for g in geoms]
+    n = len(geoms)
+    out: list[Geom | None] = [None] * n
+    pieces: list[np.ndarray] = []
+    specs: list[tuple] = []  # (geom_idx, gtype, structure of piece indices)
+
+    def add(arr) -> int:
+        pieces.append(np.asarray(arr, dtype=np.float64))
+        return len(pieces) - 1
+
+    for i, g in enumerate(geoms):
+        t, d = g
+        if t in (POINT, MULTIPOINT):
+            out[i] = g
+        elif t == LINESTRING:
+            if len(d) < 2:
+                out[i] = g
+            else:
+                specs.append((i, t, add(d)))
+        elif t == MULTILINESTRING:
+            specs.append((i, t, [None if len(ls) < 2 else add(ls) for ls in d]))
+        elif t == POLYGON:
+            specs.append((i, t, [add(r) for r in d]))
+        elif t == MULTIPOLYGON:
+            specs.append((i, t, [[add(r) for r in rings] for rings in d]))
+        elif t == 7:  # GEOMETRYCOLLECTION: scalar recursion (rare)
+            out[i] = simplify_for_zoom(g, zoom, extent, algorithm)
+        else:
+            out[i] = g
+    if pieces:
+        sizes = np.array([len(p) for p in pieces], dtype=np.int64)
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        cat = np.concatenate([p.reshape(-1, 2) for p in pieces], axis=0)
+        mask = rdp_keep_mask(cat, starts, ends, tol)
+        simp = [cat[starts[k]:ends[k]][mask[starts[k]:ends[k]]]
+                for k in range(len(pieces))]
+    for spec in specs:
+        i, t, s = spec
+        if t == LINESTRING:
+            out[i] = (t, simp[s])
+        elif t == MULTILINESTRING:
+            out[i] = (t, [geoms[i][1][j] if k is None else simp[k]
+                          for j, k in enumerate(s)])
+        elif t == POLYGON:
+            out[i] = (t, [simp[k] for k in s])
+        else:  # MULTIPOLYGON
+            out[i] = (t, [[simp[k] for k in rings] for rings in s])
+    return out
 
 
 def _to_tile_f64(coords: np.ndarray, lng_min, lat_min, lng_max, lat_max, extent: int):

@@ -62,6 +62,7 @@ from .kernels import mvt_fast
 from .kernels import simplify as SK
 from .kernels import tile_math as T
 from .kernels import validate as VK
+from .kernels import hashes as HK
 from .kernels.hashes import content_hash64, siphash13_coords
 
 # narrow shuffle rows: (z, x, y) are derivable from tile_id (the cumulative
@@ -128,27 +129,37 @@ class PipelineMetrics:
 # Phase 1: fan-out
 # ---------------------------------------------------------------------------
 
-def _prep_feature(wkb: bytes, max_zoom: int, extent: int,
-                  simplification: str = "dp"):
-    """Per-feature once-only work: decode, pre-simplify at max_zoom tolerance
-    (pipeline.rs:860-863), validate, re-encode, drop-rule precomputations.
+def _prep_feature_nohash(wkb: bytes, max_zoom: int, extent: int,
+                         simplification: str = "dp"):
+    """Per-feature once-only work MINUS the geometry hashes: decode,
+    pre-simplify at max_zoom tolerance (pipeline.rs:860-863), validate,
+    re-encode, drop-rule precomputations.
 
-    Returns None when nothing could survive, else a dict of cached values
-    reused across every (zoom, tile) this feature lands in.
+    Returns (cache, hash_requests) where each hash request is a
+    (cache_key, part_index_or_None, word_array) triple to be filled by the
+    lockstep-batched SipHash pass (hashes.siphash13_words_many) — hashing
+    is state-sequential per message, so the only way to vectorize it is
+    across features.
     """
     g = G.from_wkb(wkb)
     simplified = SK.simplify_for_zoom(g, max_zoom, extent, simplification)
+    return _prep_from_simplified(simplified)
+
+
+def _prep_from_simplified(simplified):
+    """Cache construction from an already max-zoom-simplified geometry."""
     validated = VK.filter_valid_geometry(simplified)
     cache = {"geom": simplified, "valid": validated}
+    reqs: list[tuple[str, int | None, np.ndarray]] = []
     if validated is None:
-        return cache  # boundary clips could still produce valid parts? no:
-        # clip only removes area; an invalid pre-clip geometry stays invalid.
+        return cache, reqs  # boundary clips could still produce valid parts?
+        # no: clip only removes area; invalid pre-clip stays invalid.
     t = validated[0]
     cache["wkb"] = G.to_wkb(validated)
     cache["gtype"] = t
     if t == G.POLYGON:
         cache["area_deg"] = G.polygon_unsigned_area(validated[1])
-        cache["hash"] = siphash13_coords(validated[1])
+        reqs.append(("hash", None, HK.coords_words(validated[1])))
     elif t == G.MULTIPOLYGON:
         cache["part_areas"] = np.array(
             [abs(G.ring_signed_area2(r[0]) / 2.0)
@@ -156,15 +167,55 @@ def _prep_feature(wkb: bytes, max_zoom: int, extent: int,
              for r in validated[1]]
         )
         cache["part_areas"] = np.abs(cache["part_areas"])
-        cache["part_hashes"] = np.array(
-            [siphash13_coords(r) for r in validated[1]], dtype=np.uint64
-        )
+        cache["part_hashes"] = np.zeros(len(validated[1]), dtype=np.uint64)
+        for pi, r in enumerate(validated[1]):
+            reqs.append(("part_hashes", pi, HK.coords_words(r)))
     elif t == G.MULTILINESTRING:
         cache["part_bboxes"] = np.array(
             [[p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()]
              for p in validated[1]]
         )
+    return cache, reqs
+
+
+def _prep_feature(wkb: bytes, max_zoom: int, extent: int,
+                  simplification: str = "dp"):
+    """Single-feature prep (batch path + batched hashes fused) — kept as
+    the scalar entry point for tests and one-off callers."""
+    cache, reqs = _prep_feature_nohash(wkb, max_zoom, extent, simplification)
+    if reqs:
+        hs = HK.siphash13_words_many([w for _, _, w in reqs])
+        for (key, pi, _), h in zip(reqs, hs):
+            if pi is None:
+                cache[key] = int(h)
+            else:
+                cache[key][pi] = h
     return cache
+
+
+def _prep_batch(wkbs, rows: np.ndarray, caches: list, max_zoom: int,
+                extent: int, simplification: str) -> None:
+    """Prep MANY features: scalar decode/validate per feature, ONE segmented
+    RDP call over every ring of every feature (simplify_many), then ONE
+    lockstep SipHash pass across every geometry-hash message."""
+    todo = [int(r) for r in rows if caches[int(r)] is None]
+    if not todo:
+        return
+    geoms = [G.from_wkb(wkbs[r]) for r in todo]
+    simplified = SK.simplify_many(geoms, max_zoom, extent, simplification)
+    reqs: list[tuple[int, str, int | None, np.ndarray]] = []
+    for r, simp in zip(todo, simplified):
+        cache, rq = _prep_from_simplified(simp)
+        caches[r] = cache
+        for key, pi, w in rq:
+            reqs.append((r, key, pi, w))
+    if reqs:
+        hs = HK.siphash13_words_many([w for _, _, _, w in reqs])
+        for (r, key, pi, _), h in zip(reqs, hs):
+            if pi is None:
+                caches[r][key] = int(h)
+            else:
+                caches[r][key][pi] = h
 
 
 def _finish_clip(clipped, z: int, max_zoom: int, extent: int,
@@ -611,6 +662,12 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                 pend_rows = 0
                 return frame
 
+            # batch prep: every non-point feature appears at min_zoom, so
+            # prepping upfront does no extra work — and lets the geometry
+            # hashes run as ONE lockstep SipHash pass over the whole batch
+            _prep_batch(wkbs, np.nonzero(~is_point)[0], caches,
+                        max_zoom, extent, simplification)
+
             def get_cache(r: int) -> dict:
                 c = caches[r]
                 if c is None:
@@ -946,6 +1003,100 @@ def make_encoder(config: TilerConfig, metrics: PipelineMetrics | None = None):
             yield encode_chunk(pend)
 
     return encode
+
+
+MSG_RECORDS_SCHEMA = StructType(
+    [
+        StructField("tile_id", LongType(), False),
+        StructField("feature_id", LongType(), False),
+        StructField("msg", BinaryType(), False),
+    ]
+)
+
+
+def make_fanout_encoded(config: TilerConfig,
+                        metrics: PipelineMetrics | None = None):
+    """Fused fan-out + per-record message encode (premerge map side).
+
+    Runs the normal fan-out, then converts each drained frame's
+    (tile_id, feature_id, wkb) records into framed MVT feature messages
+    IN THE SAME PASS — so the wide shuffle carries zigzag-varint messages
+    (~5-8x smaller than the f64 WKB payload on vertex-dense input) and the
+    reduce side only concatenates. Message bytes are independent of
+    grouping (the MVT cursor resets per feature), so the final archive is
+    byte-identical to the WKB-shuffling path."""
+    fan = make_fanout(config, metrics)
+    extent, buffer_px = config.extent, config.buffer_pixels
+
+    def fanout_encoded(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for frame in fan(batches):
+            tid = frame["tile_id"].to_numpy(dtype=np.int64)
+            msgs = mvt_fast.encode_record_msgs(
+                tid,
+                frame["feature_id"].to_numpy(dtype=np.int64),
+                frame["wkb"].to_numpy(),
+                extent,
+                buffer_px,
+            )
+            yield pd.DataFrame({
+                "tile_id": tid,
+                "feature_id": frame["feature_id"].to_numpy(dtype=np.int64),
+                "msg": msgs,
+            })
+
+    return fanout_encoded
+
+
+def make_wrap_encoder(config: TilerConfig,
+                      metrics: PipelineMetrics | None = None):
+    """Premerge reduce side: concatenate each tile's (feature_id-sorted)
+    framed messages and wrap the layer — same run-carry pattern as
+    ``make_encoder``, but the per-record geometry work already happened
+    map-side."""
+    layer_name, extent = config.layer_name, config.extent
+    acc_tiles = metrics.tiles_out if metrics else None
+
+    def wrap_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = mvt_fast.wrap_sorted_msgs(
+            pdf["tile_id"].to_numpy(dtype=np.int64),
+            pdf["msg"].to_numpy(),
+            layer_name,
+            extent,
+        )
+        if acc_tiles is not None:
+            acc_tiles.add(len(cols["tile_id"]))
+        return pd.DataFrame(cols)
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # pend is a LIST of frames, concatenated only when a run completes:
+        # a mega-tile run spanning hundreds of small Arrow batches would
+        # otherwise pay one quadratically-growing pd.concat per batch
+        pend: list[pd.DataFrame] = []
+        pend_last = None  # last tile_id seen (runs are contiguous)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf["tile_id"].to_numpy()
+            if pend and tids[0] != pend_last:
+                yield wrap_chunk(pd.concat(pend, ignore_index=True)
+                                 if len(pend) > 1 else pend[0])
+                pend = []
+            cut = int(np.searchsorted(tids, tids[-1], side="left"))
+            body = pdf.iloc[:cut]
+            if len(body):
+                if pend:
+                    pend.append(body)
+                    yield wrap_chunk(pd.concat(pend, ignore_index=True))
+                    pend = []
+                else:
+                    yield wrap_chunk(body)
+            pend.append(pdf.iloc[cut:])
+            pend_last = tids[-1]
+        if pend:
+            yield wrap_chunk(pd.concat(pend, ignore_index=True)
+                             if len(pend) > 1 else pend[0])
+
+    return wrap
 
 
 PARTIAL_SCHEMA = StructType(
@@ -1585,11 +1736,13 @@ def _finalize_sharded_distributed(entries_df: DataFrame,
         root_dir_bytes, n_coalesced = _assemble_directory_from_chunks(chunk_rows)
         # stream the winner list in win_tile order (== final data offset
         # order) for the copy loop — O(1) driver memory; blobs are read
-        # from their shard files by (pid, local_off) seeks
-        copy_plan = (
-            winners.select("pid", "local_off", "blob_len")
-            .orderBy("win_tile")
-        )
+        # from their shard files by (pid, local_off) seeks. NO orderBy:
+        # `winners` is already range-partitioned AND sorted within
+        # partitions by win_tile (persisted that way above), and
+        # toLocalIterator yields partitions in index order — an orderBy
+        # here would re-run a full sort exchange once PER PARTITION JOB
+        # that toLocalIterator launches.
+        copy_plan = winners.select("pid", "local_off", "blob_len")
     else:
         head = bytearray()
         P.encode_varint(0, head)
@@ -1634,7 +1787,7 @@ def _finalize_sharded_distributed(entries_df: DataFrame,
         if copy_plan is not None:
             handles: dict[int, object] = {}  # small LRU of open shard files
             try:
-                for r in copy_plan.toLocalIterator():
+                for r in copy_plan.toLocalIterator(prefetchPartitions=True):
                     pid = int(r["pid"])
                     sf = handles.get(pid)
                     if sf is None:
@@ -1666,7 +1819,8 @@ def convert_sharded(features: DataFrame, output_path: str,
                     bounds: tuple[float, float, float, float] | None = None,
                     shard_dir: str | None = None,
                     distributed_directory: bool = True,
-                    salted: bool = False) -> dict:
+                    salted: bool = False,
+                    premerge: bool = True) -> dict:
     """Scale-out sink: executors write per-range shard files (compressed
     blobs, in-shard dedup), the driver concatenates live byte ranges and
     writes the directory — output byte-identical to ``convert``'s
@@ -1733,12 +1887,29 @@ def convert_sharded(features: DataFrame, output_path: str,
         # that re-executes it (or forces caching the multi-10-GB fan-out
         # output to disk just to sample it). Global tile order is restored
         # later on the 40-byte entry rows only.
-        records = fanout_records(features, config)
-        if salted:
+        parts = config.shuffle_partitions
+        if premerge:
+            # map-side message encode: the shuffle carries zigzag-varint
+            # feature messages (~5-8x smaller than WKB on vertex-dense
+            # input) and the reduce side only sorts + concatenates — this
+            # also makes hot-tile salting moot (the heavy per-record work
+            # is already spread across the map stage; the reduce task for
+            # a mega-tile is a bytes concat + gzip)
+            msgs = features.mapInPandas(
+                make_fanout_encoded(config), schema=MSG_RECORDS_SCHEMA)
+            shuffled = (
+                msgs.repartition(parts, "tile_id")
+                if parts else msgs.repartition("tile_id")
+            ).sortWithinPartitions("tile_id", "feature_id")
+            tiles = shuffled.mapInPandas(
+                make_wrap_encoder(config), schema=TILES_SCHEMA)
+        elif salted:
+            records = fanout_records(features, config)
             hot = detect_hot_tiles(features, config)
             tiles = encode_tiles_salted(records, config, hot_tile_ids=hot,
                                         by_range=False)
         else:
+            records = fanout_records(features, config)
             tiles = encode_tiles(records, config, by_range=False)
         entries_df = tiles.withColumn(
             "pid", F.spark_partition_id()

@@ -37,4 +37,11 @@ def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
         .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
     )
+    # opt-in stage-level profiling: SPARK_GRAFT_EVENTLOG=/path/dir writes
+    # the standard Spark event log there (parse offline for stage timings)
+    ev = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev:
+        os.makedirs(ev, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true") \
+             .config("spark.eventLog.dir", f"file://{ev}")
     return b.getOrCreate()

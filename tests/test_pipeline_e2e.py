@@ -365,3 +365,90 @@ def test_antimeridian_and_polar_parity(spark):
     for (tid, fid) in got:
         per_feat[fid] = per_feat.get(fid, 0) + 1
     assert all(per_feat.get(100 + i, 0) > 0 for i in range(len(geoms))), per_feat
+
+
+def test_premerge_paths_byte_identical(spark, docs_table, tmp_path):
+    """Round-3 premerge encode: map-side per-record message encode +
+    reduce-side wrap must equal the single-writer archive byte-for-byte,
+    on BOTH the premerge default and the legacy WKB-shuffling fallback,
+    including under tiny Arrow batches (cross-batch run carries through
+    the list-pend wrap path)."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import convert, convert_sharded
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    cfg = TilerConfig(min_zoom=0, max_zoom=7, shuffle_partitions=4)
+    p_ref = str(tmp_path / "single.pmtiles")
+    convert(feats, p_ref, cfg)
+    with open(p_ref, "rb") as f:
+        ref = f.read()
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        for batch_rows in (None, 5):
+            if batch_rows is not None:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch",
+                    str(batch_rows))
+            p = str(tmp_path / f"premerge_{batch_rows}.pmtiles")
+            convert_sharded(feats, p, cfg, premerge=True)
+            with open(p, "rb") as f:
+                assert f.read() == ref, f"premerge batch={batch_rows}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    p_wkb = str(tmp_path / "wkbpath.pmtiles")
+    convert_sharded(feats, p_wkb, cfg, premerge=False)
+    with open(p_wkb, "rb") as f:
+        assert f.read() == ref
+
+
+def test_encode_record_msgs_matches_sorted_runs_slices():
+    """Per-record framed messages (any input order) must equal the slices
+    each record occupies in encode_sorted_runs' per-tile body."""
+    import numpy as np
+
+    from gpq_tiles_spark.kernels import geom as G
+    from gpq_tiles_spark.kernels import mvt_fast
+
+    rng = np.random.default_rng(5)
+    tids, fids, wkbs = [], [], []
+    for i in range(60):
+        z = int(rng.integers(1, 8))
+        x = int(rng.integers(0, 2 ** z))
+        y = int(rng.integers(0, 2 ** z))
+        from gpq_tiles_spark.kernels.hilbert import tile_id as tid_fn
+        tids.append(int(tid_fn(z, np.array([x]), np.array([y]))[0]))
+        fids.append(i)
+        kind = rng.integers(0, 4)
+        from gpq_tiles_spark.kernels.tile_math import tile_bounds
+        lng0, lat0, lng1, lat1 = (float(v[0]) for v in tile_bounds(
+            np.array([float(x)]), np.array([float(y)]), z))
+        if kind == 0:
+            wkbs.append(b"")  # interior-rect marker
+        elif kind == 1:
+            wkbs.append(G.to_wkb((G.POINT, np.array(
+                [(lng0 + lng1) / 2, (lat0 + lat1) / 2]))))
+        elif kind == 2:
+            ring = np.array([[lng0, lat0], [lng1, lat0], [lng1, lat1],
+                             [lng0, lat0]])
+            wkbs.append(G.to_wkb((G.POLYGON, [ring])))
+        else:
+            line = np.array([[lng0, lat0], [(lng0 + lng1) / 2, lat1]])
+            wkbs.append(G.to_wkb((G.LINESTRING, line)))
+    tid_a = np.array(tids, dtype=np.int64)
+    fid_a = np.array(fids, dtype=np.int64)
+    wkb_a = np.array(wkbs, dtype=object)
+
+    msgs = mvt_fast.encode_record_msgs(tid_a, fid_a, wkb_a, 4096, 8.0)
+
+    order = np.lexsort((fid_a, tid_a))
+    st, sf, sw = tid_a[order], fid_a[order], wkb_a[order]
+    cols = mvt_fast.encode_sorted_runs(st, sf, sw, "features", 4096, 8.0)
+    # reassemble each tile body from per-record messages and compare
+    wrapped = mvt_fast.wrap_sorted_msgs(
+        st, np.array([msgs[i] for i in order], dtype=object),
+        "features", 4096)
+    assert list(wrapped["tile_id"]) == list(cols["tile_id"])
+    assert wrapped["mvt"] == cols["mvt"]
+    assert list(wrapped["n_features"]) == list(cols["n_features"])
