@@ -432,17 +432,20 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
-
-    from pyspark import StorageLevel
+    from gpq_tiles_spark.pipeline import (
+        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
+        make_wrap_encoder)
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
     cfg = TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=8)
-    # persist: the range-partition sampling job would otherwise re-run the
-    # fan-out (session-lifetime cache, bounded: one small records set)
-    records = fanout_records(feats, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    tiles = encode_tiles(records, cfg)
+    # premerge production plan: map-side message encode, ONE hash shuffle
+    # of small framed messages, reduce-side wrap (no persist needed — the
+    # fan-out runs exactly once as the shuffle map stage)
+    msgs = feats.mapInPandas(make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
+    tiles = msgs.repartition(8, "tile_id").sortWithinPartitions(
+        "tile_id", "feature_id"
+    ).mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
     return tiles.select("tile_id", "z", "x", "y", "n_features")
 
 
@@ -655,15 +658,17 @@ def _q_tile_records_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
-
-    from pyspark import StorageLevel
+    from gpq_tiles_spark.pipeline import (
+        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
+        make_wrap_encoder)
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
     cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
-    records = fanout_records(feats, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    tiles = encode_tiles(records, cfg)
+    msgs = feats.mapInPandas(make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
+    tiles = msgs.repartition(8, "tile_id").sortWithinPartitions(
+        "tile_id", "feature_id"
+    ).mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
     return tiles.select(
         F.col("x").alias("tx"),
         F.col("y").alias("ty"),

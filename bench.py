@@ -42,27 +42,34 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def run_tiling(spark, sf_dir: str, max_zoom: int = 10) -> tuple[float, int, int]:
-    """Full synthetic-geometry tiling pipeline; returns (sec, tiles, records)."""
+    """Full synthetic-geometry tiling pipeline; returns (sec, tiles, records).
+
+    Premerge plan (round 3): map-side fan-out + per-record message encode,
+    ONE hash shuffle of the small framed messages, reduce-side wrap — no
+    persist (the fan-out runs exactly once as the shuffle map stage) and
+    no range-partition sampling job."""
     import __spark_entry__ as E
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
+    from gpq_tiles_spark.pipeline import (
+        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
+        make_wrap_encoder)
     from pyspark.sql import functions as F
-
-    from pyspark import StorageLevel
 
     E._register(spark, sf_dir)
     feats = E._event_features(spark)
     cfg = TilerConfig(min_zoom=0, max_zoom=max_zoom)
     t0 = time.perf_counter()
-    # persist: the range-partition sampling job would otherwise re-execute
-    # the whole fan-out (same rationale as pipeline.convert)
-    records = fanout_records(feats, cfg).persist(StorageLevel.DISK_ONLY)
-    tiles = encode_tiles(records, cfg)
+    msgs = feats.mapInPandas(make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
+    parts = cfg.shuffle_partitions
+    shuffled = (
+        msgs.repartition(parts, "tile_id") if parts
+        else msgs.repartition("tile_id")
+    ).sortWithinPartitions("tile_id", "feature_id")
+    tiles = shuffled.mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
     agg = tiles.agg(
         F.count("*").alias("tiles"), F.sum("n_features").alias("records")
     ).collect()[0]
     dt = time.perf_counter() - t0
-    records.unpersist()
     return dt, int(agg["tiles"]), int(agg["records"])
 
 
@@ -307,7 +314,17 @@ def run_scaling(max_zoom: int = 12) -> dict:
 
     from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.extract import extract_features
-    from gpq_tiles_spark.pipeline import encode_tiles, fanout_records
+    from gpq_tiles_spark.pipeline import (
+        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
+        make_wrap_encoder)
+
+    def pipeline(docs, cfg):
+        msgs = extract_features(docs).mapInPandas(
+            make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
+        shuffled = msgs.repartition(
+            cfg.shuffle_partitions, "tile_id"
+        ).sortWithinPartitions("tile_id", "feature_id")
+        return shuffled.mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
 
     docs_path = _scaling_fixture()
     eff = {}
@@ -319,20 +336,12 @@ def run_scaling(max_zoom: int = 12) -> dict:
         # warmup pass (z0-6): spawns python workers, JITs the JVM, warms the
         # page cache — at 10^12-doc scale startup amortizes to zero, so the
         # steady-state measurement is the faithful proxy for the N->4N rule
-        from pyspark import StorageLevel
-
         wcfg = TilerConfig(min_zoom=0, max_zoom=6, shuffle_partitions=2 * cores)
-        encode_tiles(fanout_records(extract_features(docs), wcfg), wcfg).agg(
-            F.count("*")
-        ).collect()
+        pipeline(docs, wcfg).agg(F.count("*")).collect()
         t0 = time.perf_counter()
-        records = fanout_records(extract_features(docs), cfg).persist(
-            StorageLevel.DISK_ONLY
-        )
-        tiles = encode_tiles(records, cfg)
+        tiles = pipeline(docs, cfg)
         agg = tiles.agg(F.count("*"), F.sum("n_features")).collect()[0]
         dt = time.perf_counter() - t0
-        records.unpersist()
         eff[cores] = {
             "sec": round(dt, 2),
             "tiles": int(agg[0]),

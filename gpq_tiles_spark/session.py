@@ -43,5 +43,6 @@ def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
     if ev:
         os.makedirs(ev, exist_ok=True)
         b = b.config("spark.eventLog.enabled", "true") \
-             .config("spark.eventLog.dir", f"file://{ev}")
+             .config("spark.eventLog.dir", f"file://{ev}") \
+             .config("spark.eventLog.compress", "false")
     return b.getOrCreate()
