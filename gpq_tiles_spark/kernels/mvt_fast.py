@@ -400,7 +400,7 @@ def _bulk_poly1(buf8: np.ndarray, woffs: np.ndarray, wkb_cat: bytes,
     npts = ((lens[rows] - 13) // 16).astype(np.int64)
     coords = np.frombuffer(
         _slice_payload(wkb_cat, woffs[rows] + 13, lens[rows] - 13),
-        dtype="<f8").reshape(-1, 2).copy()
+        dtype="<f8").reshape(-1, 2)
     starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
     rec = np.repeat(np.arange(len(rows)), npts)
 
@@ -414,6 +414,9 @@ def _bulk_poly1(buf8: np.ndarray, woffs: np.ndarray, wkb_cat: bytes,
     a2 = np.add.reduceat(cross, starts)
     flip = a2 < 0  # exterior must be CCW (orient_rings)
     if flip.any():
+        # gather only when some ring actually reverses — clip kernels
+        # preserve input orientation, so on CCW-ring corpora this whole
+        # branch (3 full-size index builds + a 16-byte/pt gather) is skipped
         local = np.arange(len(x), dtype=np.int64) - starts[rec]
         rev = starts[rec] + (npts[rec] - 1 - local)
         src_idx = np.where(flip[rec], rev, np.arange(len(x), dtype=np.int64))
