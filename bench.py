@@ -108,6 +108,8 @@ def main() -> None:
         result["scaling"] = run_scaling()
     if "--adm4" in sys.argv:
         result["adm4_anchor"] = run_adm4_anchor(cpus)
+    if "--rowgroups" in sys.argv:
+        result["rowgroup_pathology"] = run_rowgroup_pathology(cpus)
 
     print(json.dumps(result))
 
@@ -282,6 +284,72 @@ def run_adm4_anchor(cores: int = 32) -> dict:
         "fixture_bytes": fixture_bytes,
         "reference_anchor_sec": 180,
     }
+
+
+def run_rowgroup_pathology(cores: int = 32) -> dict:
+    """The reference's documented pathological case: ADM2 = 1.9 GB /
+    43,064 rows / 4,307 row groups (~10 rows each) is 'very slow' there
+    (context/ARCHITECTURE.md:74-81 — its scanner pays per-row-group
+    overhead). Same shape here: 43,064 vertex-realistic polygons written
+    once with 10-row groups and once with 2048-row groups, identical bytes
+    otherwise, z0-12 premerge pipeline over both. Spark's vectorized
+    parquet reader coalesces row groups into splits
+    (spark.sql.files.maxPartitionBytes), so the ratio should be ~1."""
+    import pandas as pd
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import (
+        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
+        make_wrap_encoder)
+    from pyspark.sql import functions as F
+
+    n = 43_064
+    paths = {}
+    for rg, tag in ((10, "rg10"), (2048, "rg2048")):
+        path = f"/tmp/gpq_bench/adm2_like_{tag}.parquet"
+        if not os.path.exists(path):
+            os.makedirs("/tmp/gpq_bench", exist_ok=True)
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            out = next(_adm4_gen(iter([pd.DataFrame(
+                {"id": np.arange(n, dtype=np.int64)})])))
+            tbl = pa.table({
+                "feature_id": pa.array(out["feature_id"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                "span_offset": pa.array(out["span_offset"], type=pa.int32()),
+                "wkb": pa.array(out["wkb"], type=pa.binary()),
+                "geom_type": pa.array(out["geom_type"], type=pa.int32()),
+                "lng_min": pa.array(out["lng_min"], type=pa.float64()),
+                "lat_min": pa.array(out["lat_min"], type=pa.float64()),
+                "lng_max": pa.array(out["lng_max"], type=pa.float64()),
+                "lat_max": pa.array(out["lat_max"], type=pa.float64()),
+            })
+            pq.write_table(tbl, path, row_group_size=rg)
+        paths[tag] = path
+
+    res = {}
+    for tag, path in paths.items():
+        spark = _fresh_spark(cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        cfg = TilerConfig(min_zoom=0, max_zoom=12, shuffle_partitions=2 * cores)
+        t0 = time.perf_counter()
+        msgs = spark.read.parquet(path).mapInPandas(
+            make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
+        tiles = msgs.repartition(2 * cores, "tile_id").sortWithinPartitions(
+            "tile_id", "feature_id"
+        ).mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
+        agg = tiles.agg(F.count("*"), F.sum("n_features")).collect()[0]
+        dt = time.perf_counter() - t0
+        res[tag] = {"sec": round(dt, 2), "tiles": int(agg[0]),
+                    "records": int(agg[1]),
+                    "row_groups": 10 if tag == "rg10" else 2048}
+        spark.stop()
+    res["slowdown_ratio"] = round(res["rg10"]["sec"] / res["rg2048"]["sec"], 3)
+    res["reference_behavior"] = ("'very slow' on ~10-row groups "
+                                 "(context/ARCHITECTURE.md:74-81)")
+    return res
 
 
 def _scaling_fixture(n_docs: int = 100_000) -> str:

@@ -2058,21 +2058,32 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
 
     from pyspark import StorageLevel
 
-    # Persist the fan-out output: repartitionByRange launches a SAMPLING job
-    # to pick range boundaries, which would otherwise re-execute the entire
-    # (expensive) fan-out a second time. Persisting makes the sampling pass
-    # the one that materializes — the shuffle then reads the cache. This is
-    # the Spark analog of the reference writing phase-1 runs to disk before
-    # its phase-2 external sort (external_sort.rs:99-189).
-    records = fanout_records(features, config, metrics).persist(
-        StorageLevel.DISK_ONLY  # streams to disk; see convert_sharded note
-    )
+    # Premerge + persist: the single-writer stream needs GLOBAL tile order
+    # (repartitionByRange), and range partitioning launches a SAMPLING job
+    # that would otherwise re-execute the whole fan-out. Persist therefore
+    # stays — but on the round-3 premerge layout it caches the small framed
+    # MESSAGES instead of the f64 WKB records (~5-8x less disk on
+    # vertex-dense input), and the expensive per-record geometry encode
+    # happens exactly once, map-side. This is the Spark analog of the
+    # reference writing phase-1 runs to disk before its phase-2 external
+    # sort (external_sort.rs:99-189).
     if salted:
+        records = fanout_records(features, config, metrics).persist(
+            StorageLevel.DISK_ONLY)
         hot = detect_hot_tiles(features, config)
         tiles = encode_tiles_salted(records, config, hot_tile_ids=hot,
                                     metrics=metrics)
     else:
-        tiles = encode_tiles(records, config, metrics=metrics)
+        records = features.mapInPandas(
+            make_fanout_encoded(config, metrics), schema=MSG_RECORDS_SCHEMA
+        ).persist(StorageLevel.DISK_ONLY)
+        parts = config.shuffle_partitions
+        shuffled = (
+            records.repartitionByRange(parts, "tile_id")
+            if parts else records.repartitionByRange("tile_id")
+        ).sortWithinPartitions("tile_id", "feature_id")
+        tiles = shuffled.mapInPandas(
+            make_wrap_encoder(config, metrics), schema=TILES_SCHEMA)
 
     codec = P.CODEC_BY_NAME[config.tile_compression]
     asm = P.PMTilesAssembler(
