@@ -1099,6 +1099,30 @@ def make_wrap_encoder(config: TilerConfig,
     return wrap
 
 
+# premerge pays when records are coordinate-dense: the framed message is
+# ~0.15-0.25x the f64 WKB then, so the shuffle shrinks 5-8x. For tiny
+# geometries (points 21 B, building quads 93 B) the message is no smaller
+# and the per-record Python bytes object materialized on BOTH sides of the
+# shuffle dominates — measured 2.4x SLOWER than the WKB layout on a 220M-
+# record z0-14 point/quad pyramid, vs 2.6x faster on the 550-vertex ADM4
+# anchor. 512 B splits those regimes with margin on each side.
+PREMERGE_AUTO_WKB_BYTES = 512
+
+
+def _resolve_premerge(features: DataFrame, premerge) -> bool:
+    """Resolve premerge='auto' from a small input sample (one partition's
+    worth of features; limit() short-circuits the scan)."""
+    if premerge != "auto":
+        return bool(premerge)
+    row = (
+        features.limit(2048)
+        .agg(F.avg(F.length("wkb")).alias("m"))
+        .collect()[0]
+    )
+    mean_wkb = float(row["m"]) if row["m"] is not None else 0.0
+    return mean_wkb >= PREMERGE_AUTO_WKB_BYTES
+
+
 PARTIAL_SCHEMA = StructType(
     [
         StructField("tile_id", LongType(), False),
@@ -1820,7 +1844,7 @@ def convert_sharded(features: DataFrame, output_path: str,
                     shard_dir: str | None = None,
                     distributed_directory: bool = True,
                     salted: bool = False,
-                    premerge: bool = True) -> dict:
+                    premerge: bool | str = "auto") -> dict:
     """Scale-out sink: executors write per-range shard files (compressed
     blobs, in-shard dedup), the driver concatenates live byte ranges and
     writes the directory — output byte-identical to ``convert``'s
@@ -1888,13 +1912,16 @@ def convert_sharded(features: DataFrame, output_path: str,
         # output to disk just to sample it). Global tile order is restored
         # later on the 40-byte entry rows only.
         parts = config.shuffle_partitions
-        if premerge:
+        if not salted and _resolve_premerge(features, premerge):
             # map-side message encode: the shuffle carries zigzag-varint
             # feature messages (~5-8x smaller than WKB on vertex-dense
             # input) and the reduce side only sorts + concatenates — this
             # also makes hot-tile salting moot (the heavy per-record work
             # is already spread across the map stage; the reduce task for
-            # a mega-tile is a bytes concat + gzip)
+            # a mega-tile is a bytes concat + gzip). 'auto' picks this
+            # layout only when the sampled mean WKB payload is large
+            # enough to beat the per-record message-object overhead
+            # (PREMERGE_AUTO_WKB_BYTES).
             msgs = features.mapInPandas(
                 make_fanout_encoded(config), schema=MSG_RECORDS_SCHEMA)
             shuffled = (
@@ -2021,7 +2048,8 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
              bounds: tuple[float, float, float, float] | None = None,
              salted: bool = False,
              progress: Callable[[ProgressEvent], None] | None = None,
-             progress_poll_sec: float = 1.0) -> dict:
+             progress_poll_sec: float = 1.0,
+             premerge: bool | str = "auto") -> dict:
     """End-to-end: features DataFrame -> single .pmtiles at output_path.
 
     Returns summary stats (incl. accumulator-backed per-stage row counts).
@@ -2073,7 +2101,7 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         hot = detect_hot_tiles(features, config)
         tiles = encode_tiles_salted(records, config, hot_tile_ids=hot,
                                     metrics=metrics)
-    else:
+    elif _resolve_premerge(features, premerge):
         records = features.mapInPandas(
             make_fanout_encoded(config, metrics), schema=MSG_RECORDS_SCHEMA
         ).persist(StorageLevel.DISK_ONLY)
@@ -2084,6 +2112,10 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         ).sortWithinPartitions("tile_id", "feature_id")
         tiles = shuffled.mapInPandas(
             make_wrap_encoder(config, metrics), schema=TILES_SCHEMA)
+    else:
+        records = fanout_records(features, config, metrics).persist(
+            StorageLevel.DISK_ONLY)
+        tiles = encode_tiles(records, config, metrics=metrics)
 
     codec = P.CODEC_BY_NAME[config.tile_compression]
     asm = P.PMTilesAssembler(

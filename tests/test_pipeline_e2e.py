@@ -452,3 +452,32 @@ def test_encode_record_msgs_matches_sorted_runs_slices():
     assert list(wrapped["tile_id"]) == list(cols["tile_id"])
     assert wrapped["mvt"] == cols["mvt"]
     assert list(wrapped["n_features"]) == list(cols["n_features"])
+
+
+def test_premerge_auto_resolution(spark, docs_table):
+    """'auto' picks the WKB-shuffling layout for tiny-geometry corpora and
+    the premerge layout for coordinate-dense ones (512 B sampled mean)."""
+    import numpy as np
+    import pandas as pd
+
+    from gpq_tiles_spark.kernels import geom as G
+    from gpq_tiles_spark.pipeline import _resolve_premerge
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    assert _resolve_premerge(feats, "auto") is False  # quads/points corpus
+    assert _resolve_premerge(feats, True) is True
+    assert _resolve_premerge(feats, False) is False
+
+    ring = np.column_stack([
+        np.cos(np.linspace(0, 2 * np.pi, 600)),
+        np.sin(np.linspace(0, 2 * np.pi, 600)),
+    ])
+    big = G.to_wkb((G.POLYGON, [ring]))
+    pdf = pd.DataFrame({
+        "feature_id": [1, 2], "doc_id": ["a", "b"], "span_offset": [0, 0],
+        "wkb": [big, big], "geom_type": [G.POLYGON] * 2,
+        "lng_min": [-1.0, -1.0], "lat_min": [-1.0, -1.0],
+        "lng_max": [1.0, 1.0], "lat_max": [1.0, 1.0],
+    })
+    dense = spark.createDataFrame(pdf)
+    assert _resolve_premerge(dense, "auto") is True
