@@ -371,20 +371,25 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     # inject deterministic exact duplicates (doc_id % 20 == 0 copied under
-    # doc_id + 10^7) so the recall invariant is NON-VACUOUS on corpora with
-    # few natural exact dups; the oracle SQL applies the same construction
+    # -doc_id - 1: negative ids are collision-proof against real non-negative
+    # doc_ids at ANY scale factor, unlike a fixed +10^7 offset) so the recall
+    # invariant is NON-VACUOUS on corpora with few natural exact dups; the
+    # oracle SQL applies the same construction
     base = spark.table("documents").where(F.col("text").isNotNull()).select(
         "doc_id", "text")
     docs = base.unionAll(
         base.where(F.col("doc_id") % 20 == 0)
-        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
     )
     buckets = minhash_near_duplicates(
         docs, text_col="text", id_col="doc_id", num_perm=32, bands=8,
         max_bucket=None,
     )
+    # explicit cast: the operator carries ids as strings internally
     mem = buckets.select(
-        "band", "bucket", F.explode("doc_ids").alias("doc_id")
+        "band", "bucket", F.explode("doc_ids").alias("_did")
+    ).select(
+        "band", "bucket", F.col("_did").cast("long").alias("doc_id")
     )
     h = docs.select("doc_id", F.md5("text").alias("h"))
     pairs = (
@@ -417,7 +422,7 @@ def _sql_minhash_recall() -> str:
             FROM (
                 SELECT doc_id, text FROM documents WHERE text IS NOT NULL
                 UNION ALL
-                SELECT doc_id + 10000000, text FROM documents
+                SELECT -doc_id - 1, text FROM documents
                 WHERE text IS NOT NULL AND doc_id % 20 = 0
             ) c
             GROUP BY text
@@ -432,9 +437,7 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import (
-        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
-        make_wrap_encoder)
+    from gpq_tiles_spark.pipeline import encode_tiles_premerge
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
@@ -442,10 +445,7 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # premerge production plan: map-side message encode, ONE hash shuffle
     # of small framed messages, reduce-side wrap (no persist needed — the
     # fan-out runs exactly once as the shuffle map stage)
-    msgs = feats.mapInPandas(make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
-    tiles = msgs.repartition(8, "tile_id").sortWithinPartitions(
-        "tile_id", "feature_id"
-    ).mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
+    tiles = encode_tiles_premerge(feats, cfg)
     return tiles.select("tile_id", "z", "x", "y", "n_features")
 
 
@@ -658,17 +658,12 @@ def _q_tile_records_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import (
-        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
-        make_wrap_encoder)
+    from gpq_tiles_spark.pipeline import encode_tiles_premerge
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
     cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
-    msgs = feats.mapInPandas(make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
-    tiles = msgs.repartition(8, "tile_id").sortWithinPartitions(
-        "tile_id", "feature_id"
-    ).mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
+    tiles = encode_tiles_premerge(feats, cfg)
     return tiles.select(
         F.col("x").alias("tx"),
         F.col("y").alias("ty"),

@@ -50,22 +50,14 @@ def run_tiling(spark, sf_dir: str, max_zoom: int = 10) -> tuple[float, int, int]
     no range-partition sampling job."""
     import __spark_entry__ as E
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import (
-        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
-        make_wrap_encoder)
+    from gpq_tiles_spark.pipeline import encode_tiles_premerge
     from pyspark.sql import functions as F
 
     E._register(spark, sf_dir)
     feats = E._event_features(spark)
     cfg = TilerConfig(min_zoom=0, max_zoom=max_zoom)
     t0 = time.perf_counter()
-    msgs = feats.mapInPandas(make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
-    parts = cfg.shuffle_partitions
-    shuffled = (
-        msgs.repartition(parts, "tile_id") if parts
-        else msgs.repartition("tile_id")
-    ).sortWithinPartitions("tile_id", "feature_id")
-    tiles = shuffled.mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
+    tiles = encode_tiles_premerge(feats, cfg)
     agg = tiles.agg(
         F.count("*").alias("tiles"), F.sum("n_features").alias("records")
     ).collect()[0]
@@ -211,9 +203,14 @@ def _adm4_fixture(spark, cores: int) -> str:
     driver-side via pyarrow in a process pool (64 files, 2048-row groups)
     so Spark gets clean input splits without paying a generation shuffle."""
     path = "/tmp/gpq_bench/adm4_features.parquet"
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    # _SUCCESS marker guards against a previously interrupted generation:
+    # a partial fixture would silently benchmark a fraction of the rows
+    # while features_per_sec still divides by the full 363,783
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         from concurrent.futures import ProcessPoolExecutor
 
@@ -227,6 +224,8 @@ def _adm4_fixture(spark, cores: int) -> str:
         ]
         with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 8)) as ex:
             list(ex.map(_write_adm4_chunk, jobs))
+        with open(marker, "w"):
+            pass
     return path
 
 
@@ -298,9 +297,7 @@ def run_rowgroup_pathology(cores: int = 32) -> dict:
     import pandas as pd
 
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import (
-        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
-        make_wrap_encoder)
+    from gpq_tiles_spark.pipeline import encode_tiles_premerge
     from pyspark.sql import functions as F
 
     n = 43_064
@@ -326,7 +323,11 @@ def run_rowgroup_pathology(cores: int = 32) -> dict:
                 "lng_max": pa.array(out["lng_max"], type=pa.float64()),
                 "lat_max": pa.array(out["lat_max"], type=pa.float64()),
             })
-            pq.write_table(tbl, path, row_group_size=rg)
+            # atomic publish: an interrupted write must not be mistaken
+            # for a valid cached fixture on the next run
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp, row_group_size=rg)
+            os.replace(tmp, path)
         paths[tag] = path
 
     res = {}
@@ -335,11 +336,7 @@ def run_rowgroup_pathology(cores: int = 32) -> dict:
         spark.sparkContext.setLogLevel("ERROR")
         cfg = TilerConfig(min_zoom=0, max_zoom=12, shuffle_partitions=2 * cores)
         t0 = time.perf_counter()
-        msgs = spark.read.parquet(path).mapInPandas(
-            make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
-        tiles = msgs.repartition(2 * cores, "tile_id").sortWithinPartitions(
-            "tile_id", "feature_id"
-        ).mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
+        tiles = encode_tiles_premerge(spark.read.parquet(path), cfg, 2 * cores)
         agg = tiles.agg(F.count("*"), F.sum("n_features")).collect()[0]
         dt = time.perf_counter() - t0
         res[tag] = {"sec": round(dt, 2), "tiles": int(agg[0]),
@@ -360,7 +357,9 @@ def _scaling_fixture(n_docs: int = 100_000) -> str:
         os.makedirs("/tmp/gpq_bench", exist_ok=True)
         from gpq_tiles_spark.fixtures import write_fixture
 
-        write_fixture(path, n_docs=n_docs, seed=42, rows_per_group=5000)
+        tmp = f"{path}.tmp"
+        write_fixture(tmp, n_docs=n_docs, seed=42, rows_per_group=5000)
+        os.replace(tmp, path)  # atomic publish (see rowgroup fixture note)
     return path
 
 
@@ -382,17 +381,10 @@ def run_scaling(max_zoom: int = 12) -> dict:
 
     from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.extract import extract_features
-    from gpq_tiles_spark.pipeline import (
-        MSG_RECORDS_SCHEMA, TILES_SCHEMA, make_fanout_encoded,
-        make_wrap_encoder)
+    from gpq_tiles_spark.pipeline import encode_tiles_premerge
 
     def pipeline(docs, cfg):
-        msgs = extract_features(docs).mapInPandas(
-            make_fanout_encoded(cfg), schema=MSG_RECORDS_SCHEMA)
-        shuffled = msgs.repartition(
-            cfg.shuffle_partitions, "tile_id"
-        ).sortWithinPartitions("tile_id", "feature_id")
-        return shuffled.mapInPandas(make_wrap_encoder(cfg), schema=TILES_SCHEMA)
+        return encode_tiles_premerge(extract_features(docs), cfg)
 
     docs_path = _scaling_fixture()
     eff = {}

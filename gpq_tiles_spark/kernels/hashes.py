@@ -143,7 +143,30 @@ def siphash13_words_many(word_msgs: list[np.ndarray],
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     nw = np.array([len(w) for w in word_msgs], dtype=np.int64)
-    max_w = int(nw.max()) if n else 0
+    # the padded lockstep matrix is (lanes x max_words): one outlier
+    # geometry in a batch of small ones would multiply its length by the
+    # whole batch. Bucket by size: sort lanes by word count and process
+    # chunks whose padded footprint stays under ~64 MB — hashes are
+    # independent per lane, so chunking changes nothing.
+    PAD_BUDGET_WORDS = 8 << 20
+    if n > 1 and int(nw.max()) * n > PAD_BUDGET_WORDS:
+        order = np.argsort(nw, kind="stable")
+        out = np.empty(n, dtype=np.uint64)
+        start = 0
+        while start < n:
+            end = start + 1
+            # grow the chunk while its padded size stays in budget (the
+            # chunk max is the LAST element -- lanes are length-sorted)
+            while (end < n
+                   and max(int(nw[order[end]]), 1) * (end - start + 1)
+                   <= PAD_BUDGET_WORDS):
+                end += 1
+            idx = order[start:end]
+            out[idx] = siphash13_words_many(
+                [word_msgs[int(i)] for i in idx], k0, k1)
+            start = end
+        return out
+    max_w = int(nw.max())
     mat = np.zeros((n, max_w), dtype=np.uint64)
     for i, w in enumerate(word_msgs):
         mat[i, : len(w)] = w

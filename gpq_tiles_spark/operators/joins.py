@@ -227,7 +227,14 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
             for pid in (int(p) if isinstance(p, np.integer) else p for p in p_ids)
         )
         if done or r >= max_radius:
-            return topk
+            # materialize the (n_probes x k)-row result locally so the
+            # cell-indexed points cache can be released NOW — returning the
+            # lazy plan instead would leak pts.cache() for the session
+            # (the round-2 knn_join_distributed leak, same class). This is
+            # the documented driver-loop variant: n_probes is small.
+            rows = topk.collect()
+            pts.unpersist()
+            return spark.createDataFrame(rows, schema=topk.schema)
         r *= 2
 
 

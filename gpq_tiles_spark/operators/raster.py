@@ -187,32 +187,20 @@ def _rect_feature_msgs(rects: list[tuple[int, int, int, int]],
     cmds[:, 9] = 0
     cmds[:, 10] = M.command_encode(M.CMD_CLOSE_PATH, 1)
 
+    from ..kernels.mvt_fast import _varint_nb
+
     flat = cmds.reshape(-1)
     payload = varint_array_u32(flat)  # all geometry varints, row-major
-    nb = np.ones(len(flat), dtype=np.int64)
-    v = flat >> np.uint64(7)
-    while v.any():
-        nb += (v > 0)
-        v >>= np.uint64(7)
+    nb = _varint_nb(flat)
     row_len = nb.reshape(n, 11).sum(axis=1)
     offs = np.concatenate(([0], np.cumsum(row_len)))
 
     ids = np.arange(n, dtype=np.uint64)
     id_vb = varint_array_u32(ids)
-    id_nb = np.ones(n, dtype=np.int64)
-    v = ids >> np.uint64(7)
-    while v.any():
-        id_nb += (v > 0)
-        v >>= np.uint64(7)
-    id_offs = np.concatenate(([0], np.cumsum(id_nb)))
+    id_offs = np.concatenate(([0], np.cumsum(_varint_nb(ids))))
 
     geom_len_vb = varint_array_u32(row_len.astype(np.uint64))
-    gl_nb = np.ones(n, dtype=np.int64)
-    v = row_len.astype(np.uint64) >> np.uint64(7)
-    while v.any():
-        gl_nb += (v > 0)
-        v >>= np.uint64(7)
-    gl_offs = np.concatenate(([0], np.cumsum(gl_nb)))
+    gl_offs = np.concatenate(([0], np.cumsum(_varint_nb(row_len.astype(np.uint64)))))
 
     pv = memoryview(payload)
     iv = memoryview(id_vb)

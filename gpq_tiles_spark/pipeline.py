@@ -1099,6 +1099,33 @@ def make_wrap_encoder(config: TilerConfig,
     return wrap
 
 
+def encode_tiles_premerge(features: DataFrame, config: TilerConfig,
+                          num_partitions: int | None = None,
+                          by_range: bool = False,
+                          metrics: PipelineMetrics | None = None) -> DataFrame:
+    """features -> per-tile MVT rows on the premerge layout: map-side
+    fan-out + per-record message encode, ONE shuffle of the small framed
+    messages on tile_id (hash by default; ``by_range=True`` when the
+    consumer needs globally tile-ordered partitions), reduce-side wrap.
+    The single shared constructor for every premerge plan in the repo —
+    bench, contract queries, and the sharded sink all call this."""
+    msgs = features.mapInPandas(
+        make_fanout_encoded(config, metrics), schema=MSG_RECORDS_SCHEMA)
+    parts = num_partitions or config.shuffle_partitions
+    if by_range:
+        shuffled = (
+            msgs.repartitionByRange(parts, "tile_id")
+            if parts else msgs.repartitionByRange("tile_id")
+        )
+    else:
+        shuffled = (
+            msgs.repartition(parts, "tile_id")
+            if parts else msgs.repartition("tile_id")
+        )
+    return shuffled.sortWithinPartitions("tile_id", "feature_id").mapInPandas(
+        make_wrap_encoder(config, metrics), schema=TILES_SCHEMA)
+
+
 # premerge pays when records are coordinate-dense: the framed message is
 # ~0.15-0.25x the f64 WKB then, so the shuffle shrinks 5-8x. For tiny
 # geometries (points 21 B, building quads 93 B) the message is no smaller
@@ -1809,17 +1836,25 @@ def _finalize_sharded_distributed(entries_df: DataFrame,
         out_f.write(root_dir)
         out_f.write(meta)
         if copy_plan is not None:
-            handles: dict[int, object] = {}  # small LRU of open shard files
+            from collections import OrderedDict
+
+            # true LRU of open shard files: blobs stream in tile order but
+            # live in hash-partitioned shards, so pids interleave — plain
+            # dict.popitem() would evict the handle just opened (LIFO) and
+            # churn open/close per blob beyond the cap
+            handles: OrderedDict[int, object] = OrderedDict()
             try:
                 for r in copy_plan.toLocalIterator(prefetchPartitions=True):
                     pid = int(r["pid"])
                     sf = handles.get(pid)
                     if sf is None:
                         if len(handles) >= 64:
-                            _, old = handles.popitem()
+                            _, old = handles.popitem(last=False)
                             old.close()
                         sf = handles[pid] = open(os.path.join(
                             shard_dir, f"shard_{pid:05d}.bin"), "rb")
+                    else:
+                        handles.move_to_end(pid)
                     sf.seek(r["local_off"])
                     out_f.write(sf.read(r["blob_len"]))
             finally:
@@ -1882,6 +1917,12 @@ def convert_sharded(features: DataFrame, output_path: str,
     from .kernels import pmtiles as P
 
     config = (config or TilerConfig()).validate()
+    if salted and premerge is True:
+        raise ValueError(
+            "convert_sharded: salted=True uses the WKB-shuffling two-phase "
+            "encode and cannot honor premerge=True (premerge makes salting "
+            "moot — drop salted, or leave premerge='auto')."
+        )
     master = features.sparkSession.conf.get("spark.master", "")
     if shard_dir is None and not master.startswith("local"):
         raise ValueError(
@@ -1922,14 +1963,7 @@ def convert_sharded(features: DataFrame, output_path: str,
             # layout only when the sampled mean WKB payload is large
             # enough to beat the per-record message-object overhead
             # (PREMERGE_AUTO_WKB_BYTES).
-            msgs = features.mapInPandas(
-                make_fanout_encoded(config), schema=MSG_RECORDS_SCHEMA)
-            shuffled = (
-                msgs.repartition(parts, "tile_id")
-                if parts else msgs.repartition("tile_id")
-            ).sortWithinPartitions("tile_id", "feature_id")
-            tiles = shuffled.mapInPandas(
-                make_wrap_encoder(config), schema=TILES_SCHEMA)
+            tiles = encode_tiles_premerge(features, config)
         elif salted:
             records = fanout_records(features, config)
             hot = detect_hot_tiles(features, config)
@@ -2072,6 +2106,12 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
             progress(ProgressEvent(phase, kind, info))
 
     config = (config or TilerConfig()).validate()
+    if salted and premerge is True:
+        raise ValueError(
+            "convert: salted=True uses the WKB-shuffling two-phase encode "
+            "and cannot honor premerge=True (premerge makes salting moot — "
+            "drop salted, or leave premerge='auto')."
+        )
     metrics = PipelineMetrics.create(features.sparkSession)
     emit("bounds", "start")
     if bounds is None:

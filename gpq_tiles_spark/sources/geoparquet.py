@@ -116,10 +116,12 @@ def read_geoparquet(spark: SparkSession, path: str,
                         if part_idx:
                             # salt flattened GeometryCollection parts so
                             # feature_id stays unique (part 0 byte-stable,
-                            # mirroring extract._hash_feature_id)
+                            # mirroring extract._hash_feature_id); mask
+                            # BEFORE np.uint64 — a negative id would raise
+                            # OverflowError on numpy >= 2.0
                             fid = int(
                                 fmix64(
-                                    np.uint64(fid)
+                                    np.uint64(fid & 0xFFFF_FFFF_FFFF_FFFF)
                                     ^ np.uint64(
                                         (part_idx * 0x9E3779B97F4A7C15)
                                         & 0xFFFF_FFFF_FFFF_FFFF
