@@ -127,6 +127,11 @@ def _sipround_vec(v0, v1, v2, v3):
     return v0, v1, v2, v3
 
 
+# padded-lockstep footprint cap for siphash13_words_many (words; ~64 MB).
+# Module-level so tests can shrink it to exercise the chunked path cheaply.
+PAD_BUDGET_WORDS = 8 << 20
+
+
 def siphash13_words_many(word_msgs: list[np.ndarray],
                          k0: int = 0, k1: int = 0) -> np.ndarray:
     """Lockstep-vectorized SipHash-1-3 over MANY word-aligned messages.
@@ -146,9 +151,8 @@ def siphash13_words_many(word_msgs: list[np.ndarray],
     # the padded lockstep matrix is (lanes x max_words): one outlier
     # geometry in a batch of small ones would multiply its length by the
     # whole batch. Bucket by size: sort lanes by word count and process
-    # chunks whose padded footprint stays under ~64 MB — hashes are
-    # independent per lane, so chunking changes nothing.
-    PAD_BUDGET_WORDS = 8 << 20
+    # chunks whose padded footprint stays under PAD_BUDGET_WORDS — hashes
+    # are independent per lane, so chunking changes nothing.
     if n > 1 and int(nw.max()) * n > PAD_BUDGET_WORDS:
         order = np.argsort(nw, kind="stable")
         out = np.empty(n, dtype=np.uint64)

@@ -340,3 +340,37 @@ def test_convert_sharded_salted_byte_identical(spark, docs_table, tmp_path):
     assert s1["unique_blobs"] == s2["unique_blobs"]
     with open(p1, "rb") as f1, open(p2, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_salted_premerge_conflict_raises(spark, docs_table, tmp_path):
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import convert, convert_sharded
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    cfg = TilerConfig(min_zoom=0, max_zoom=3, shuffle_partitions=4)
+    with pytest.raises(ValueError, match="premerge"):
+        convert_sharded(feats, str(tmp_path / "x.pmtiles"), cfg,
+                        salted=True, premerge=True)
+    with pytest.raises(ValueError, match="premerge"):
+        convert(feats, str(tmp_path / "y.pmtiles"), cfg,
+                salted=True, premerge=True)
+
+
+def test_siphash_pad_bucketing_parity(monkeypatch):
+    """Force the chunked lockstep path with a tiny budget: results must be
+    bit-identical to the scalar hash for every lane."""
+    import numpy as np
+
+    from gpq_tiles_spark.kernels import hashes as HK
+
+    monkeypatch.setattr(HK, "siphash13_words_many", HK.siphash13_words_many)
+    rng = np.random.default_rng(9)
+    msgs = [rng.integers(0, 2 ** 63, int(rng.integers(0, 40))).astype(np.uint64)
+            for _ in range(300)]
+    msgs[7] = rng.integers(0, 2 ** 63, 5000).astype(np.uint64)  # outlier lane
+    # 300 * 5000 = 1.5M words < default budget, so shrink the budget
+    monkeypatch.setattr(HK, "PAD_BUDGET_WORDS", 20_000)
+    got = HK.siphash13_words_many(msgs)
+    for w, h in zip(msgs, got):
+        assert int(h) == HK.siphash13(w.tobytes())
