@@ -481,3 +481,52 @@ def test_premerge_auto_resolution(spark, docs_table):
     })
     dense = spark.createDataFrame(pdf)
     assert _resolve_premerge(dense, "auto") is True
+
+
+def test_convert_premerge_dense_corpus_byte_identical(spark, tmp_path):
+    """A corpus that RESOLVES to premerge under 'auto' (600-vertex rings)
+    must produce identical bytes through convert (range-partitioned
+    premerge + persist), convert_sharded (hash premerge + distributed
+    finalize), and the forced WKB layout."""
+    import numpy as np
+    import pandas as pd
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.kernels import geom as G
+    from gpq_tiles_spark.pipeline import (_resolve_premerge, convert,
+                                          convert_sharded)
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(400, 700))
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = 1.0 + 0.2 * np.sin(5 * th + rng.uniform(0, 6))
+        cx, cy = float(rng.uniform(-170, 170)), float(rng.uniform(-60, 60))
+        w = float(rng.uniform(0.01, 2.0))
+        ring = np.column_stack([cx + w * r * np.cos(th),
+                                cy + 0.7 * w * r * np.sin(th)])
+        ring = np.vstack([ring, ring[:1]])
+        rows.append({
+            "feature_id": i, "doc_id": str(i), "span_offset": 0,
+            "wkb": G.to_wkb((G.POLYGON, [ring])), "geom_type": G.POLYGON,
+            "lng_min": float(ring[:, 0].min()),
+            "lat_min": float(ring[:, 1].min()),
+            "lng_max": float(ring[:, 0].max()),
+            "lat_max": float(ring[:, 1].max()),
+        })
+    feats = spark.createDataFrame(pd.DataFrame(rows))
+    assert _resolve_premerge(feats, "auto") is True
+    cfg = TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=4)
+
+    p1 = str(tmp_path / "single.pmtiles")
+    p2 = str(tmp_path / "sharded.pmtiles")
+    p3 = str(tmp_path / "wkb.pmtiles")
+    s1 = convert(feats, p1, cfg)                      # auto -> premerge+range
+    s2 = convert_sharded(feats, p2, cfg)              # auto -> premerge+hash
+    convert_sharded(feats, p3, cfg, premerge=False)   # forced WKB layout
+    assert s1["tiles"] == s2["tiles"] > 0
+    with open(p1, "rb") as f1, open(p2, "rb") as f2, open(p3, "rb") as f3:
+        b1 = f1.read()
+        assert b1 == f2.read()
+        assert b1 == f3.read()
