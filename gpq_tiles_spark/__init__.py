@@ -24,7 +24,8 @@ from .config import TilerConfig  # noqa: F401
 
 def __getattr__(name):  # lazy: keep kernel-only imports Spark-free
     if name in ("convert", "convert_sharded", "fanout_records", "encode_tiles",
-                "encode_tiles_salted", "detect_hot_tiles", "encode_single_tile",
+                "encode_tiles_salted", "encode_tiles_premerge",
+                "detect_hot_tiles", "encode_single_tile",
                 "ProgressEvent", "PipelineMetrics"):
         from . import pipeline
 
@@ -33,4 +34,13 @@ def __getattr__(name):  # lazy: keep kernel-only imports Spark-free
         from . import extract
 
         return getattr(extract, name)
+    if name in ("read_tile", "decode_tile"):
+        # archive debugging helpers (no Spark needed)
+        if name == "read_tile":
+            from .kernels.pmtiles import read_tile
+
+            return read_tile
+        from .kernels.mvt import decode_tile
+
+        return decode_tile
     raise AttributeError(name)
