@@ -544,6 +544,110 @@ def polygon_tiles_clip_batch(g: Geom, bx0s: np.ndarray, by0s: np.ndarray,
     return results
 
 
+def polygons_tiles_clip_multi(geoms: list, feat_of_tile: np.ndarray,
+                              bx0s: np.ndarray, by0s: np.ndarray,
+                              bx1s: np.ndarray, by1s: np.ndarray,
+                              max_batch_pts: int = 4_000_000) -> list:
+    """Clip MANY polygon/multipolygon geometries, each against ITS OWN set
+    of (buffered) tile windows, in shared segmented edge passes — the
+    cross-feature generalization of ``polygon_tiles_clip_batch`` (whose
+    per-(feature, zoom) calls dominate the small-regime fan-out cost on
+    vertex-dense corpora: the segmented kernel is agnostic to ring
+    ownership, so one L/R/B/T pass can serve every feature at a zoom).
+
+    ``geoms[k]`` is clipped against window ``j`` for every j with
+    ``feat_of_tile[j] == k``. Returns per-window Geom|None, aligned with
+    the windows — byte-identical to per-feature ``polygon_tiles_clip_batch``
+    (same kernels, same per-instance order).
+    """
+    n_tiles = len(bx0s)
+    results: list = [None] * n_tiles
+    if n_tiles == 0:
+        return results
+    # per-geom ring structure
+    g_rings: list[list[np.ndarray]] = []
+    g_ring_in_part: list[list[int]] = []
+    g_sizes: list[np.ndarray] = []
+    g_base: list[np.ndarray] = []
+    g_type: list[int] = []
+    for g in geoms:
+        t, d = g
+        parts = [d] if t == POLYGON else d
+        rings, rip = [], []
+        for p in parts:
+            for ri, ring in enumerate(p):
+                rings.append(np.asarray(ring, dtype=np.float64))
+                rip.append(ri)
+        g_rings.append(rings)
+        g_ring_in_part.append(rip)
+        sz = np.array([len(r) for r in rings], dtype=np.int64)
+        g_sizes.append(sz)
+        g_base.append(
+            np.concatenate([r.reshape(-1, 2) for r in rings], axis=0)
+            if rings else np.empty((0, 2), dtype=np.float64))
+        g_type.append(t)
+
+    feat_of_tile = np.asarray(feat_of_tile, dtype=np.int64)
+    pts_per_tile = np.array(
+        [int(g_sizes[f].sum()) for f in feat_of_tile], dtype=np.int64)
+    rings_per_tile = np.array(
+        [len(g_sizes[f]) for f in feat_of_tile], dtype=np.int64)
+
+    c0 = 0
+    while c0 < n_tiles:
+        c1 = c0 + 1
+        tot = int(pts_per_tile[c0])
+        while c1 < n_tiles and tot + int(pts_per_tile[c1]) <= max_batch_pts:
+            tot += int(pts_per_tile[c1])
+            c1 += 1
+        sel = range(c0, c1)
+        pts = np.concatenate([g_base[int(feat_of_tile[j])] for j in sel],
+                             axis=0)
+        sizes_all = np.concatenate([g_sizes[int(feat_of_tile[j])]
+                                    for j in sel])
+        offs = np.zeros(len(sizes_all) + 1, dtype=np.int64)
+        np.cumsum(sizes_all, out=offs[1:])
+        reps = rings_per_tile[c0:c1]
+
+        def rep(arr):
+            return np.repeat(np.asarray(arr[c0:c1], dtype=np.float64), reps)
+
+        p_, o_ = clip_edge_segmented(pts, offs, 0, rep(bx0s), True)
+        p_, o_ = clip_edge_segmented(p_, o_, 0, rep(bx1s), False)
+        p_, o_ = clip_edge_segmented(p_, o_, 1, rep(by0s), True)
+        p_, o_ = clip_edge_segmented(p_, o_, 1, rep(by1s), False)
+        p_, o_ = close_rings_segmented(p_, o_)
+        sizes_out = np.diff(o_)
+
+        gi = 0
+        for j in sel:
+            f = int(feat_of_tile[j])
+            rip = g_ring_in_part[f]
+            out_polys = []
+            cur: list | None = None
+            ok_ext = False
+            for k in range(len(rip)):
+                n = sizes_out[gi + k]
+                if rip[k] == 0:
+                    if ok_ext and cur:
+                        out_polys.append(cur)
+                    ok_ext = n >= 3
+                    cur = ([p_[o_[gi + k]:o_[gi + k + 1]]]
+                           if ok_ext else None)
+                elif ok_ext and n >= 3:
+                    cur.append(p_[o_[gi + k]:o_[gi + k + 1]])
+            if ok_ext and cur:
+                out_polys.append(cur)
+            if out_polys:
+                if g_type[f] == POLYGON:
+                    results[j] = (POLYGON, out_polys[0])
+                else:
+                    results[j] = (MULTIPOLYGON, out_polys)
+            gi += len(rip)
+        c0 = c1
+    return results
+
+
 def lines_tiles_clip_batch(g: Geom, bx0s: np.ndarray, by0s: np.ndarray,
                            bx1s: np.ndarray, by1s: np.ndarray) -> list:
     """Clip a LINESTRING/MULTILINESTRING against MANY (buffered) tile

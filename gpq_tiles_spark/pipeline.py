@@ -852,25 +852,43 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                             keep_pos.append(pos)
                             keep_wkb.append(w)
 
-                # batched boundary clips: one 4-pass segmented SH per
-                # (feature, zoom) over all its boundary tiles at once —
-                # byte-identical to the per-pair clip_geometry loop
-                for r, poss in poly_batch.items():
-                    c = caches[r]
-                    parr = np.asarray(poss, dtype=np.int64)
-                    bufs = (t_lng1[parr] - t_lng0[parr]) * buffer_px / extent
-                    clips = CK.polygon_tiles_clip_batch(
-                        c["geom"],
-                        t_lng0[parr] - bufs, t_lat0[parr] - bufs,
-                        t_lng1[parr] + bufs, t_lat1[parr] + bufs)
-                    ws = _finish_poly_batch(
-                        clips, t_lng0[parr], t_lat0[parr],
-                        t_lng1[parr], t_lat1[parr],
-                        z, max_zoom, extent, int(fid[r]))
-                    for pos, w in zip(poss, ws):
-                        if w is not None:
-                            keep_pos.append(pos)
-                            keep_wkb.append(w)
+                # batched boundary clips: ONE set of 4-pass segmented SH
+                # edge passes per zoom across ALL features' boundary tiles
+                # (clip.polygons_tiles_clip_multi — the kernel is agnostic
+                # to ring ownership); byte-identical to the per-pair
+                # clip_geometry loop. Finish (validate/drop/wkb) stays
+                # per feature — it needs the feature's fid for the
+                # diffuse-drop hash.
+                if poly_batch:
+                    mg_feats = list(poly_batch.keys())
+                    mg_geoms = [caches[r]["geom"] for r in mg_feats]
+                    mg_tiles = np.concatenate([
+                        np.asarray(poss, dtype=np.int64)
+                        for poss in poly_batch.values()])
+                    mg_fidx = np.repeat(
+                        np.arange(len(mg_feats), dtype=np.int64),
+                        [len(poss) for poss in poly_batch.values()])
+                    mg_bufs = (t_lng1[mg_tiles] - t_lng0[mg_tiles]) \
+                        * buffer_px / extent
+                    mg_clips = CK.polygons_tiles_clip_multi(
+                        mg_geoms, mg_fidx,
+                        t_lng0[mg_tiles] - mg_bufs,
+                        t_lat0[mg_tiles] - mg_bufs,
+                        t_lng1[mg_tiles] + mg_bufs,
+                        t_lat1[mg_tiles] + mg_bufs)
+                    base_i = 0
+                    for r, poss in poly_batch.items():
+                        parr = np.asarray(poss, dtype=np.int64)
+                        clips = mg_clips[base_i:base_i + len(poss)]
+                        base_i += len(poss)
+                        ws = _finish_poly_batch(
+                            clips, t_lng0[parr], t_lat0[parr],
+                            t_lng1[parr], t_lat1[parr],
+                            z, max_zoom, extent, int(fid[r]))
+                        for pos, w in zip(poss, ws):
+                            if w is not None:
+                                keep_pos.append(pos)
+                                keep_wkb.append(w)
 
                 for r, poss in line_batch.items():
                     c = caches[r]
