@@ -435,6 +435,118 @@ def _decode_feature(buf: bytes) -> dict:
     return out
 
 
+def decode_value(buf: bytes):
+    """Tile.Value message bytes -> python value.
+
+    Inverse of encode_value, but covers the full spec surface (vector_tile.proto
+    Value: string=1 float=2 double=3 int=4 uint=5 sint=6 bool=7) so foreign
+    archives (tippecanoe) decode too, not just our own four encoded kinds."""
+    import struct as _struct
+
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:
+            ln, i = _read_varint(buf, i)
+            return buf[i : i + ln].decode("utf-8")
+        if field == 2 and wire == 5:
+            return _struct.unpack_from("<f", buf, i)[0]
+        if field == 3 and wire == 1:
+            return _struct.unpack_from("<d", buf, i)[0]
+        if field == 4 and wire == 0:  # int64: two's-complement varint
+            v, i = _read_varint(buf, i)
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if field == 5 and wire == 0:
+            v, i = _read_varint(buf, i)
+            return v
+        if field == 6 and wire == 0:
+            v, i = _read_varint(buf, i)
+            return int(zigzag_decode(np.uint64(v)))
+        if field == 7 and wire == 0:
+            v, i = _read_varint(buf, i)
+            return bool(v)
+        i = _skip(buf, i, wire)
+    return None
+
+
+def feature_properties(feature: dict, keys: list[str], values: list) -> dict:
+    """Resolve a decoded feature's packed tag pairs against the layer's
+    key/value tables. ``values`` entries may be raw Value-message bytes (as
+    produced by _decode_layer) or already-decoded python values."""
+    out = {}
+    tags = feature["tags"]
+    for j in range(0, len(tags) - 1, 2):
+        v = values[tags[j + 1]]
+        out[keys[tags[j]]] = decode_value(v) if isinstance(v, (bytes, bytearray)) else v
+    return out
+
+
+def _ring_area2_px(ring: list[tuple[int, int]]) -> float:
+    """Surveyor's formula (×2) over tile-pixel coords, spec 4.3.4.4."""
+    a = 0
+    for k in range(len(ring) - 1):
+        x0, y0 = ring[k]
+        x1, y1 = ring[k + 1]
+        a += x0 * y1 - x1 * y0
+    return a
+
+
+def decode_geometry(feature: dict) -> dict:
+    """Decoded feature -> GeoJSON-style geometry in tile-local pixel coords.
+
+    Assembles the raw command integers (decode_geometry_commands) into typed
+    coordinate structure per MVT spec 4.3.4: Point/MultiPoint from MoveTo runs,
+    (Multi)LineString from MoveTo+LineTo paths, (Multi)Polygon from closed
+    rings grouped by surveyor's-formula sign — the first ring fixes the
+    exterior sign; subsequent rings with the opposite sign are holes of the
+    preceding exterior (reference decodes via geozero: golden.rs:205-240).
+    Rings are returned closed (first point repeated)."""
+    paths = decode_geometry_commands(feature["geometry"])
+    t = feature["type"]
+    if t == GEOM_POINT:
+        pts = [p for op, ps in paths if op == "move" for p in ps]
+        if len(pts) == 1:
+            return {"type": "Point", "coordinates": pts[0]}
+        return {"type": "MultiPoint", "coordinates": pts}
+    if t == GEOM_LINESTRING:
+        lines: list[list[tuple[int, int]]] = []
+        for op, ps in paths:
+            if op == "move":
+                lines.append(list(ps))
+            elif op == "line" and lines:
+                lines[-1].extend(ps)
+        if len(lines) == 1:
+            return {"type": "LineString", "coordinates": lines[0]}
+        return {"type": "MultiLineString", "coordinates": lines}
+    if t == GEOM_POLYGON:
+        rings: list[list[tuple[int, int]]] = []
+        cur: list[tuple[int, int]] | None = None
+        for op, ps in paths:
+            if op == "move":
+                cur = list(ps)
+            elif op == "line" and cur is not None:
+                cur.extend(ps)
+            elif op == "close" and cur is not None:
+                cur.append(cur[0])
+                rings.append(cur)
+                cur = None
+        polys: list[list[list[tuple[int, int]]]] = []
+        ext_sign = 0.0
+        for ring in rings:
+            a2 = _ring_area2_px(ring)
+            if not polys or ext_sign == 0.0 or (a2 != 0 and (a2 > 0) == (ext_sign > 0)):
+                polys.append([ring])
+                if a2 != 0:
+                    ext_sign = a2
+            else:
+                polys[-1].append(ring)
+        if len(polys) == 1:
+            return {"type": "Polygon", "coordinates": polys[0]}
+        return {"type": "MultiPolygon", "coordinates": polys}
+    return {"type": "Unknown", "coordinates": []}
+
+
 def decode_geometry_commands(cmds: list[int]) -> list[tuple[str, list[tuple[int, int]]]]:
     """Command ints -> [(op, [(x, y) absolute pixel coords])]."""
     out = []

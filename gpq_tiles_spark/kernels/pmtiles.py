@@ -457,9 +457,9 @@ def read_tile(path: str, z: int, x: int, y: int,
     Returns the decompressed MVT bytes (or the decoded feature structure
     when ``decode=True``, via kernels.mvt.decode_tile), or None when the
     tile is absent. Directories written by this engine are root-only
-    (clustered, run-length coalesced), which is what this resolves."""
-    import bisect
-
+    (clustered, run-length coalesced); foreign archives with leaf
+    directories (spec: root entry run_length==0 points into the leaf
+    section) are followed one level, matching the spec's two-level limit."""
     import numpy as np
 
     from .hilbert import tile_id as _tile_id
@@ -471,16 +471,45 @@ def read_tile(path: str, z: int, x: int, y: int,
         root = f.read(hdr.root_dir_length)
         entries = decode_directory(decompress(root, hdr.internal_compression))
         tid = int(_tile_id(z, np.array([x]), np.array([y]))[0])
-        ids = [e.tile_id for e in entries]
-        i = bisect.bisect_right(ids, tid) - 1
-        if i < 0:
+        e = _find_entry(entries, tid)
+        if e is None:
             return None
-        e = entries[i]
-        if not (e.tile_id <= tid < e.tile_id + max(e.run_length, 1)):
-            return None
+        if e.run_length == 0:
+            # Leaf-directory pointer: offset is relative to the leaf section.
+            f.seek(hdr.leaf_dirs_offset + e.offset)
+            leaf = decode_directory(
+                decompress(f.read(e.length), hdr.internal_compression)
+            )
+            e = _find_entry(leaf, tid)
+            if e is None:
+                return None
+            if e.run_length == 0:
+                raise ValueError(
+                    "nested leaf directories are not valid PMTiles v3"
+                )
         f.seek(hdr.tile_data_offset + e.offset)
         raw = decompress(f.read(e.length), hdr.tile_compression)
     return _decode(raw) if decode else raw
+
+
+def _find_entry(entries: list[DirEntry], tid: int) -> DirEntry | None:
+    """Binary-search a sorted directory for the entry covering ``tid``.
+
+    run_length==0 entries (leaf pointers) cover [tile_id, next entry's
+    tile_id); run_length>=1 entries cover their run (spec directory search,
+    same contract as the reference reader pipeline.rs:1762+)."""
+    import bisect
+
+    ids = [e.tile_id for e in entries]
+    i = bisect.bisect_right(ids, tid) - 1
+    if i < 0:
+        return None
+    e = entries[i]
+    if e.run_length == 0:
+        return e  # leaf pointer covers everything up to the next entry
+    if e.tile_id <= tid < e.tile_id + e.run_length:
+        return e
+    return None
 
 
 # ---------------------------------------------------------------------------
