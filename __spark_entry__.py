@@ -431,6 +431,78 @@ def _sql_minhash_recall() -> str:
     """
 
 
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall row (VERDICT r3 item 3): the at-scale ANN operator
+    (train_ivf_centroids + cosine_topk_ivf, similarity.py:54,116) enters the
+    driver CORRECTNESS contract.
+
+    Planted ground truth, same collision-proof construction as
+    minhash_neardup: every probe (vec_id < 20) gets an exact-duplicate copy
+    under -vec_id-1. The copy's cosine with its probe is exactly 1.0 —
+    strictly the nearest neighbor — and because the copy's embedding is
+    identical, its IVF cell is the probe's own top-1 cell, always inside the
+    probe's nprobe set, so a CORRECT implementation finds all 20
+    deterministically at any sf. The DuckDB oracle independently verifies
+    the ground truth (argmax-cosine per probe over the augmented corpus IS
+    the planted copy) with window SQL; Spark's count comes from the real
+    IVF operator. A broken quantizer, candidate join, or rerank drops the
+    count below 20 and the row goes red."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    probes = emb.where(F.col("vec_id") < 20)
+    aug = emb.unionAll(
+        probes.select((-F.col("vec_id") - 1).alias("vec_id"), "embedding")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    cents = train_ivf_centroids(aug, dim=dim, n_centroids=64, sample=8192, seed=42)
+    topk = cosine_topk_ivf(aug, probes, k=10, centroids=cents, nprobe=8)
+    return topk.where(F.col("rnk") == 1).agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.lit(10).cast("long").alias("k"),
+        F.sum(
+            (F.col("vec_id") == -F.col("probe_id") - 1).cast("long")
+        ).alias("n_true_nn_found"),
+    )
+
+
+def _sql_ann_ivf_recall() -> str:
+    # DuckDB verifies the planted ground truth: the argmax-cosine neighbor
+    # of each probe over the augmented corpus is its exact-duplicate copy.
+    dot = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+           "CAST(p.embedding AS DOUBLE[]))")
+    na = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    np_ = "sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))"
+    return f"""
+        WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT -vec_id - 1, embedding FROM embeddings WHERE vec_id < 20
+        ),
+        nn AS (
+            SELECT p.vec_id AS probe_id, a.vec_id AS nn_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY {dot} / ({na} * {np_}) DESC, a.vec_id ASC
+                   ) AS rnk
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) p
+            CROSS JOIN aug a
+            WHERE a.vec_id <> p.vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(10 AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN nn_id = -probe_id - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_nn_found
+        FROM nn WHERE rnk = 1
+    """
+
+
 def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fan-out -> clip -> drop -> MVT pipeline over synthetic geometries
     derived from event points (rows-only; exercises the whole engine)."""
@@ -787,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["emb_neardup_pairs"] = _q_emb_neardup
     out["dedup_assignments"] = _q_dedup_assignments
     out["raster_density_z6"] = _q_raster_density
+    out["ann_ivf_recall"] = _q_ann_ivf_recall
     return out
 
 
@@ -801,4 +874,5 @@ def oracle_sql() -> dict[str, str]:
     out["emb_neardup_pairs"] = _sql_emb_neardup("duckdb")
     out["dedup_assignments"] = _sql_dedup_assignments()
     out["raster_density_z6"] = _sql_raster_z6()
+    out["ann_ivf_recall"] = _sql_ann_ivf_recall()
     return out

@@ -159,6 +159,11 @@ def point_in_polygon_join(points: DataFrame, zones: DataFrame,
     return cand2.mapInPandas(refine2, schema=schema)
 
 
+# knn_join collect()s the probe side: refuse above this count and point at
+# the distributed variant (mirrors similarity.EXACT_PAIRS_MAX_ROWS).
+KNN_DRIVER_MAX_PROBES = 10_000
+
+
 def knn_join(points: DataFrame, probes: DataFrame, k: int,
              point_id: str = "point_id", probe_id: str = "probe_id",
              zoom: int = 7, max_radius: int = 64) -> DataFrame:
@@ -173,6 +178,14 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
     > (r-1) minimum cell heights in lat, so once the kth candidate distance
     is <= ((r-1) * min_cell_extent)^2 no farther ring can improve the result.
     """
+    n_probes = probes.count()
+    if n_probes > KNN_DRIVER_MAX_PROBES:
+        raise ValueError(
+            f"knn_join: {n_probes} probes would be collect()ed to the driver "
+            f"(> {KNN_DRIVER_MAX_PROBES}). This is the driver-loop variant "
+            "for small probe sets — use knn_join_distributed, which keeps "
+            "probes a DataFrame end-to-end."
+        )
     pts = C.with_cell_column(
         points.select(F.col(point_id).alias("point_id"), "lng", "lat"),
         "lng", "lat", zoom,

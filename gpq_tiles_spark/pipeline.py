@@ -1155,13 +1155,21 @@ PREMERGE_AUTO_WKB_BYTES = 512
 
 
 def _resolve_premerge(features: DataFrame, premerge) -> bool:
-    """Resolve premerge='auto' from a small input sample (one partition's
-    worth of features; limit() short-circuits the scan)."""
+    """Resolve premerge='auto' from the first 2048 rows of PARTITION 0 —
+    a deterministic sample for a fixed input layout (a bare limit() takes
+    whichever partitions answer first, so the auto choice could flip
+    between runs on heterogeneous corpora; ADVICE r3). Output bytes are
+    identical either way; this only pins WHICH plan runs. Costs one small
+    Spark job per convert call (partition 0 only — the where(_pid=0) sits
+    under CollectLimit, which opens partitions in order)."""
     if premerge != "auto":
         return bool(premerge)
     row = (
-        features.limit(2048)
-        .agg(F.avg(F.length("wkb")).alias("m"))
+        features.select(F.length("wkb").alias("l"),
+                        F.spark_partition_id().alias("_pid"))
+        .where(F.col("_pid") == 0)
+        .limit(2048)
+        .agg(F.avg("l").alias("m"))
         .collect()[0]
     )
     mean_wkb = float(row["m"]) if row["m"] is not None else 0.0
@@ -1897,7 +1905,8 @@ def convert_sharded(features: DataFrame, output_path: str,
                     shard_dir: str | None = None,
                     distributed_directory: bool = True,
                     salted: bool = False,
-                    premerge: bool | str = "auto") -> dict:
+                    premerge: bool | str = "auto",
+                    _testing_only: bool = False) -> dict:
     """Scale-out sink: executors write per-range shard files (compressed
     blobs, in-shard dedup), the driver concatenates live byte ranges and
     writes the directory — output byte-identical to ``convert``'s
@@ -1935,6 +1944,17 @@ def convert_sharded(features: DataFrame, output_path: str,
     from .kernels import pmtiles as P
 
     config = (config or TilerConfig()).validate()
+    if not distributed_directory and not _testing_only:
+        # the collect-everything finalize materializes every entry row on
+        # the driver — kept ONLY as a differential oracle for the
+        # distributed assembly (VERDICT r3 item 6); unreachable from user
+        # code without the explicit test flag
+        raise ValueError(
+            "convert_sharded: distributed_directory=False is the legacy "
+            "collect-everything finalize, retained for differential "
+            "testing only. Use the default distributed finalize, or pass "
+            "_testing_only=True in a test."
+        )
     if salted and premerge is True:
         raise ValueError(
             "convert_sharded: salted=True uses the WKB-shuffling two-phase "
@@ -2203,17 +2223,23 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
 
     emit("tiles", "start")
     n_tiles = 0
-    for row in tiles.toLocalIterator(prefetchPartitions=True):
-        asm.add_tile(row.tile_id, row.z, bytes(row.mvt), row.content_hash, row.n_features)
-        n_tiles += 1
-        if progress is not None and n_tiles % 8192 == 0:
-            emit("tiles", "progress", tiles=n_tiles, **metrics.as_dict())
+    try:
+        for row in tiles.toLocalIterator(prefetchPartitions=True):
+            asm.add_tile(row.tile_id, row.z, bytes(row.mvt), row.content_hash, row.n_features)
+            n_tiles += 1
+            if progress is not None and n_tiles % 8192 == 0:
+                emit("tiles", "progress", tiles=n_tiles, **metrics.as_dict())
+    finally:
+        # an exception mid-stream must not leave the daemon poller polling
+        # a dead accumulator or the fan-out cache pinned for the session
+        # (ADVICE r3)
+        if poller is not None:
+            stop_poll.set()
+            poller.join()
+        records.unpersist()
     if poller is not None:
-        stop_poll.set()
-        poller.join()
         emit("fanout", "complete", **metrics.as_dict())
     emit("tiles", "complete", tiles=n_tiles, **metrics.as_dict())
-    records.unpersist()
     asm.bounds = [bounds[0], bounds[1], bounds[2], bounds[3]]
     emit("archive", "start")
     hdr = asm.finalize(output_path)

@@ -12,6 +12,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Size the single-JVM heap from the host: ~1/5 of physical RAM,
+    clamped to [4g, 24g] (24g was tuned for the 128 GiB harness box; a
+    fixed 24g default fails JVM launch on smaller hosts — ADVICE r3).
+    SPARK_DRIVER_MEM always overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    return f"{min(24, max(4, int(total_gb / 5)))}g"
+
+
 def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -25,12 +43,13 @@ def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # local[K] puts driver + executor in ONE JVM: size the heap for the
-        # harness box (128 GiB). Arrow/netty direct memory defaults to the
-        # heap cap, so this also sizes the Arrow transfer pool that the
-        # vertex-heavy fan-out batches go through. On a real cluster these
-        # come from spark-submit conf instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # local[K] puts driver + executor in ONE JVM: size the heap from
+        # host RAM (24g on the 128 GiB harness box). Arrow/netty direct
+        # memory defaults to the heap cap, so this also sizes the Arrow
+        # transfer pool that the vertex-heavy fan-out batches go through.
+        # On a real cluster these come from spark-submit conf instead.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM") or _default_driver_mem())
         .config("spark.sql.parquet.filterPushdown", "true")
         # DISK_ONLY persists + RDD spills are uncompressed by default;
         # lz4 halves the on-disk footprint of coordinate-heavy WKB records

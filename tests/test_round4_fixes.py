@@ -1,0 +1,63 @@
+"""Round-4 robustness fixes (VERDICT/ADVICE r3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_knn_join_probe_guard(spark, monkeypatch):
+    """knn_join collect()s probes: above the cap it must fail fast and point
+    at knn_join_distributed (VERDICT r3 'what's wrong' item 1)."""
+    import gpq_tiles_spark.operators.joins as J
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 10), float(i // 10)) for i in range(50)],
+        "point_id long, lng double, lat double",
+    )
+    probes = spark.createDataFrame(
+        [(i, float(i), 0.5) for i in range(30)],
+        "probe_id long, lng double, lat double",
+    )
+    monkeypatch.setattr(J, "KNN_DRIVER_MAX_PROBES", 10)
+    with pytest.raises(ValueError, match="knn_join_distributed"):
+        J.knn_join(pts, probes, k=3)
+    # under the cap the driver-loop variant still works
+    small = probes.where(F.col("probe_id") < 3)
+    out = J.knn_join(pts, small, k=3)
+    assert out.groupBy("probe_id").count().count() == 3
+
+
+def test_legacy_sharded_finalize_gated(spark, docs_table, tmp_path):
+    """distributed_directory=False (collect-everything finalize) is a
+    differential oracle only: unreachable without _testing_only=True
+    (VERDICT r3 item 6), and still byte-identical with it."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import convert_sharded
+
+    feats = extract_features(spark.read.parquet(docs_table))
+    cfg = TilerConfig(min_zoom=0, max_zoom=4, shuffle_partitions=4)
+    with pytest.raises(ValueError, match="_testing_only"):
+        convert_sharded(feats, str(tmp_path / "x.pmtiles"), cfg,
+                        distributed_directory=False)
+    p1 = str(tmp_path / "dist.pmtiles")
+    p2 = str(tmp_path / "legacy.pmtiles")
+    convert_sharded(feats, p1, cfg)
+    convert_sharded(feats, p2, cfg, distributed_directory=False,
+                    _testing_only=True)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_resolve_premerge_deterministic(spark):
+    """Partition-0 sampling: same input layout -> same auto choice on
+    repeated calls (ADVICE r3 item 5)."""
+    from gpq_tiles_spark.pipeline import _resolve_premerge
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b"x" * (2000 if i % 7 == 0 else 10))) for i in range(500)],
+        "feature_id long, wkb binary",
+    ).repartition(4, "feature_id")
+    choices = {_resolve_premerge(df, "auto") for _ in range(3)}
+    assert len(choices) == 1
+    assert _resolve_premerge(df, True) is True
+    assert _resolve_premerge(df, False) is False

@@ -1,0 +1,228 @@
+"""Semantic drop-rule banding against REAL tippecanoe output (VERDICT r3
+item 2), anchored to the reference's own comparison harness
+(crates/core/src/golden.rs:168-340 and context/ARCHITECTURE.md:55-66).
+
+The golden input parquet is an LFS stub, but the open-buildings archive's
+max-zoom tiles carry (quantization aside) the unsimplified source geometry —
+tippecanoe ran with --simplify-only-low-zooms, so z10 is unsimplified. We
+reconstruct the Andorra buildings corpus from BOTH z10 tiles (671 unique
+polygons after boundary-straddle dedup by property key), run THIS engine's
+convert() over it at z0-10, and band-compare the resulting pyramid per zoom
+against the actual tippecanoe archive:
+
+  * tile set: ours must cover every tippecanoe tile (z5-z10, 8 tiles);
+    extra tiles only below z6 (we keep a survivor at z4 where tippecanoe
+    drops everything — its own z0-z4 are empty).
+  * per-zoom feature-count ratio at z7-z10 in [0.7, 1.1] (observed 1.00 /
+    0.95 / 0.83 / 0.92; reference's published self-ratio is 0.78x at z8,
+    0.81x at z10, and its own accepted band is 0.3-2.0x, golden.rs:239).
+  * small-count zooms (z5/z6, <25 features) use an absolute-slack band.
+  * z10 area preservation in [0.80, 1.05] (golden.rs:288-336 band).
+
+A drop-rule (D1-D7), clip, or fan-out drift now shows up against an
+EXTERNAL implementation, not a self-check.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from gpq_tiles_spark.config import TilerConfig
+from gpq_tiles_spark.extract import FEATURES_SCHEMA
+from gpq_tiles_spark.kernels import geom as G
+from gpq_tiles_spark.kernels import tile_math as T
+from gpq_tiles_spark.kernels.hilbert import tile_id_to_zxy
+from gpq_tiles_spark.kernels.mvt import (
+    decode_geometry,
+    decode_tile,
+    feature_properties,
+)
+from gpq_tiles_spark.kernels.pmtiles import PMTilesReader, read_tile
+
+ARCHIVE = "/root/reference/tests/fixtures/golden/open-buildings.pmtiles"
+EXTENT = 4096
+Z10_TILES = [(516, 377), (516, 378)]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(ARCHIVE), reason="reference golden fixtures not present"
+)
+
+
+def _px_to_deg(pts, z: int, x: int, y: int) -> np.ndarray:
+    """Invert geo_to_tile_px's per-tile linear quantization."""
+    lng0, lat0, lng1, lat1 = (
+        float(v[0]) for v in T.tile_bounds(np.array([x]), np.array([y]), z)
+    )
+    pts = np.asarray(pts, dtype=np.float64)
+    lng = lng0 + pts[:, 0] / EXTENT * (lng1 - lng0)
+    lat = lat0 + (1.0 - pts[:, 1] / EXTENT) * (lat1 - lat0)
+    return np.stack([lng, lat], axis=1)
+
+
+def _poly_area_px(g: dict) -> float:
+    def ring(r):
+        a = 0.0
+        for k in range(len(r) - 1):
+            a += r[k][0] * r[k + 1][1] - r[k + 1][0] * r[k][1]
+        return a / 2.0
+
+    if g["type"] == "Polygon":
+        return abs(sum(ring(r) for r in g["coordinates"]))
+    if g["type"] == "MultiPolygon":
+        return abs(sum(ring(r) for poly in g["coordinates"] for r in poly))
+    return 0.0
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """(feature rows for FEATURES_SCHEMA, summed source polygon area px^2
+    per z10 tile). Boundary-straddling buildings appear (buffer-clipped) in
+    both z10 tiles; keep the larger-area copy per property key."""
+    best: dict[tuple, tuple] = {}
+    for x, y in Z10_TILES:
+        lay = decode_tile(read_tile(ARCHIVE, 10, x, y))[0]
+        for f in lay["features"]:
+            g = decode_geometry(f)
+            if g["type"] not in ("Polygon", "MultiPolygon"):
+                continue
+            props = feature_properties(f, lay["keys"], lay["values"])
+            key = (
+                props.get("boundary_id"),
+                props.get("area_in_meters"),
+                props.get("bf_source"),
+                props.get("confidence"),
+            )
+            area = _poly_area_px(g)
+            cur = best.get(key)
+            if cur is None or area > cur[0]:
+                best[key] = (area, x, y, g)
+    rows = []
+    for i, (key, (area, x, y, g)) in enumerate(
+        sorted(best.items(), key=lambda kv: str(kv[0]))
+    ):
+        polys = [g["coordinates"]] if g["type"] == "Polygon" else g["coordinates"]
+        geo_polys = [[_px_to_deg(r, 10, x, y) for r in rings] for rings in polys]
+        gg = (
+            (G.POLYGON, geo_polys[0])
+            if len(geo_polys) == 1
+            else (G.MULTIPOLYGON, geo_polys)
+        )
+        t, d = gg
+        allpts = (
+            np.vstack(d) if t == G.POLYGON else np.vstack([r for p in d for r in p])
+        )
+        rows.append(
+            (
+                i,
+                str(i),
+                0,
+                bytearray(G.to_wkb(gg)),
+                int(t),
+                float(allpts[:, 0].min()),
+                float(allpts[:, 1].min()),
+                float(allpts[:, 0].max()),
+                float(allpts[:, 1].max()),
+            )
+        )
+    assert len(rows) == 671  # deterministic reconstruction
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pyramids(spark, corpus, tmp_path_factory):
+    """Run convert() z0-10 over the reconstructed corpus; return per-tile
+    feature counts for our archive and the tippecanoe archive, plus decoded
+    z10 layers of ours."""
+    from gpq_tiles_spark.pipeline import convert
+
+    out = str(tmp_path_factory.mktemp("bands") / "ours.pmtiles")
+    df = spark.createDataFrame(corpus, FEATURES_SCHEMA)
+    convert(df, out, TilerConfig(min_zoom=0, max_zoom=10, shuffle_partitions=8))
+
+    def counts(path):
+        r = PMTilesReader(path)
+        out_c = {}
+        for tid in r.tile_ids():
+            z, x, y = tile_id_to_zxy(tid)
+            out_c[(z, x, y)] = len(decode_tile(r.get_tile_bytes(tid))[0]["features"])
+        return out_c
+
+    return counts(out), counts(ARCHIVE), out
+
+
+def test_tile_set_covers_tippecanoe(pyramids):
+    ours, tipp, _ = pyramids
+    missing = set(tipp) - set(ours)
+    assert not missing, f"tiles tippecanoe wrote but we did not: {missing}"
+    extras = {t for t in set(ours) - set(tipp)}
+    assert all(z < 6 for z, _, _ in extras), (
+        f"unexpected extra tiles at mid/high zoom: {extras}"
+    )
+
+
+def test_per_zoom_feature_ratio_bands(pyramids):
+    ours, tipp, _ = pyramids
+    oz, tz = collections.Counter(), collections.Counter()
+    for (z, _, _), n in ours.items():
+        oz[z] += n
+    for (z, _, _), n in tipp.items():
+        tz[z] += n
+    for z in range(5, 11):
+        o, t = oz.get(z, 0), tz.get(z, 0)
+        assert t > 0
+        if t >= 25:  # z7-z10: statistically meaningful counts
+            ratio = o / t
+            assert 0.7 <= ratio <= 1.1, f"z{z}: ours={o} tipp={t} ratio={ratio:.3f}"
+        else:  # z5/z6: single-digit counts, absolute slack
+            assert abs(o - t) <= max(5, t), f"z{z}: ours={o} tipp={t}"
+
+
+def test_z10_area_preserved(pyramids, corpus):
+    """golden.rs:288-336 band: post-pipeline polygon area within
+    [0.80, 1.05] of the source area (both in z10 tile px^2)."""
+    _, _, ours_path = pyramids
+    src_area = 0.0
+    for row in corpus:
+        g = G.from_wkb(bytes(row[3]))
+        t, d = g
+        polys = [d] if t == G.POLYGON else d
+        for rings in polys:
+            px = [
+                [
+                    tuple(p)
+                    for p in _deg_to_px(np.asarray(r), 10, 516, 377)
+                ]
+                for r in rings
+            ]
+            src_area += _poly_area_px(
+                {"type": "Polygon", "coordinates": px}
+            )
+    our_area = 0.0
+    for x, y in Z10_TILES:
+        raw = read_tile(ours_path, 10, x, y)
+        if raw is None:
+            continue
+        lay = decode_tile(raw)[0]
+        for f in lay["features"]:
+            g = decode_geometry(f)
+            if g["type"] in ("Polygon", "MultiPolygon"):
+                # measure in the frame of the tile the feature landed in
+                our_area += _poly_area_px(g)
+    ratio = our_area / src_area
+    assert 0.80 <= ratio <= 1.05, f"area ratio {ratio:.4f}"
+
+
+def _deg_to_px(pts: np.ndarray, z: int, x: int, y: int) -> np.ndarray:
+    """Forward per-tile linear quantization frame (float, no rounding) so
+    source and decoded areas are measured in the same px^2 units."""
+    lng0, lat0, lng1, lat1 = (
+        float(v[0]) for v in T.tile_bounds(np.array([x]), np.array([y]), z)
+    )
+    px = (pts[:, 0] - lng0) / (lng1 - lng0) * EXTENT
+    py = (1.0 - (pts[:, 1] - lat0) / (lat1 - lat0)) * EXTENT
+    return np.stack([px, py], axis=1)
