@@ -26,6 +26,14 @@ class TilerConfig:
     exclude_properties: list[str] | None = None
     exclude_all_properties: bool = False
     # scale knobs
+    # optional per-tile byte budget (uncompressed MVT body): the low-zoom
+    # mega-tile is the one object whose size grows with input scale (a
+    # whole-country z<=6 tile is one reduce task's concat+gzip). When a
+    # tile's framed message bytes exceed this, deterministic hash-ordered
+    # thinning (drop.tile_budget_keep_mask) trims it; capped-tile counts
+    # surface in PipelineMetrics. None = unlimited, tippecanoe's
+    # --no-tile-size-limit behavior (the golden fixtures' flags).
+    max_tile_bytes: int | None = None
     shuffle_partitions: int | None = None  # None -> leave session conf alone
     hot_tile_threshold: int = 200_000  # features per tile before salted two-phase encode
     salt_buckets: int = 16
@@ -39,4 +47,6 @@ class TilerConfig:
             raise ValueError(f"unsupported compression {self.tile_compression!r}")
         if self.simplification not in ("dp", "visvalingam"):
             raise ValueError(f"unsupported simplification {self.simplification!r}")
+        if self.max_tile_bytes is not None and self.max_tile_bytes <= 0:
+            raise ValueError("max_tile_bytes must be positive or None")
         return self

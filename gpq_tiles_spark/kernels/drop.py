@@ -125,3 +125,48 @@ def should_drop_geometry(g: Geom, zoom: int, base_zoom: int, extent: int,
             for p in d
         )
     return False
+
+
+# ---------------------------------------------------------------------------
+# Per-tile byte budget (round-4 scale insurance — the low-zoom mega-tile)
+# ---------------------------------------------------------------------------
+
+def tile_budget_keep_mask(fids: np.ndarray, framed_lens: np.ndarray,
+                          tile_id: int, budget: int) -> np.ndarray:
+    """Deterministic per-tile byte-budget thinning.
+
+    The z<=6 mega-tile's body grows with input scale (a whole-country tile
+    is ONE reduce task's concat+gzip); tippecanoe defaults to a 500 KB tile
+    limit for the same reason (its --no-tile-size-limit flag opts out,
+    golden/README.md). When a tile's summed FRAMED message bytes exceed
+    ``budget``, keep records in ascending fmix64(fid ^ mix(tile_id)) order —
+    the same hash family as the D1 point-thinning rule — until the budget is
+    spent. Properties of the rule:
+
+    * order-independent: the mask depends only on the (fid, framed_len) SET
+      of the tile, so the single-writer, sharded, salted, premerge, and WKB
+      layouts all compute the SAME mask -> archives stay byte-identical;
+    * deterministic: no RNG, stable across runs/partitionings (hash ties
+      broken by fid, which is unique within a tile);
+    * never empties a tile: the first record in hash order is always kept.
+
+    Returns a bool mask in the INPUT record order.
+    """
+    framed_lens = np.asarray(framed_lens, dtype=np.int64)
+    n = len(framed_lens)
+    if n == 0 or int(framed_lens.sum()) <= budget:
+        return np.ones(n, dtype=bool)
+    # zero-length (dead) records cost nothing and are always kept — the
+    # salted phase-A layout drops them from its message lists, so the
+    # budget competition must run over the LIVE records only for the kept
+    # byte set to be identical across layouts
+    fids = np.asarray(fids, dtype=np.int64)
+    nz = np.flatnonzero(framed_lens > 0)
+    h = fmix64(fids[nz].astype(np.uint64) ^ fmix64(np.uint64(tile_id)))
+    order = np.lexsort((fids[nz], h))
+    csum = np.cumsum(framed_lens[nz][order])
+    keep_sorted = csum <= budget
+    keep_sorted[0] = True  # tile never goes empty
+    mask = framed_lens == 0
+    mask[nz[order[keep_sorted]]] = True
+    return mask

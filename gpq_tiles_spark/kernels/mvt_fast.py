@@ -145,11 +145,16 @@ def encode_record_msgs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
     return [bb[ro[i]:ro[i + 1]] for i in range(n)]
 
 
-def wrap_sorted_msgs(tid: np.ndarray, msgs, layer_name: str, extent: int):
+def wrap_sorted_msgs(tid: np.ndarray, msgs, layer_name: str, extent: int,
+                     fids: np.ndarray | None = None,
+                     max_tile_bytes: int | None = None,
+                     cap_stats: list | None = None):
     """Reduce-side premerge wrap: consecutive (tile_id-sorted) runs of
     framed messages -> per-tile MVT rows. ``n_features`` counts ALL records
     of the run (dead records ship as b"" rows), matching
-    ``encode_sorted_runs``. Returns the TILES_SCHEMA column dict."""
+    ``encode_sorted_runs``. ``max_tile_bytes`` applies the same per-tile
+    byte budget as encode_sorted_runs (requires ``fids``) so both layouts
+    stay byte-identical. Returns the TILES_SCHEMA column dict."""
     n = len(tid)
     starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     ends = np.append(starts[1:], n)
@@ -159,8 +164,25 @@ def wrap_sorted_msgs(tid: np.ndarray, msgs, layer_name: str, extent: int):
     tail = b"\x28" + _varint(extent) + b"\x78\x02"
     out_mvt: list[bytes] = []
     out_hash: list[int] = []
+    out_nf = (ends - starts).astype(np.int64)
     for gi in range(len(starts)):
-        body = b"".join(msgs[starts[gi]:ends[gi]])
+        s, e = starts[gi], ends[gi]
+        run = msgs[s:e]
+        if max_tile_bytes is not None:
+            flens = np.fromiter((len(m) for m in run), dtype=np.int64,
+                                count=e - s)
+            if int(flens.sum()) > max_tile_bytes:
+                from .drop import tile_budget_keep_mask
+
+                mask = tile_budget_keep_mask(
+                    np.asarray(fids[s:e], dtype=np.int64), flens,
+                    int(g_tid[gi]), max_tile_bytes)
+                run = [m for m, k in zip(run, mask) if k]
+                out_nf[gi] = int(mask.sum())
+                if cap_stats is not None:
+                    cap_stats[0] += 1
+                    cap_stats[1] += int((e - s) - out_nf[gi])
+        body = b"".join(run)
         layer = head + body + tail
         mvt = b"\x1a" + _varint(len(layer)) + layer
         out_mvt.append(mvt)
@@ -170,7 +192,7 @@ def wrap_sorted_msgs(tid: np.ndarray, msgs, layer_name: str, extent: int):
         "z": g_z.astype(np.int32),
         "x": g_x,
         "y": g_y,
-        "n_features": (ends - starts).astype(np.int64),
+        "n_features": out_nf,
         "mvt": out_mvt,
         "content_hash": np.array(out_hash, dtype=np.int64),
     }
@@ -548,12 +570,16 @@ def _poly1_cmds(start: int, npts: int, inter: np.ndarray) -> list[int]:
 
 
 def encode_sorted_runs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
-                       layer_name: str, extent: int, buffer_px: float = 8.0):
+                       layer_name: str, extent: int, buffer_px: float = 8.0,
+                       max_tile_bytes: int | None = None,
+                       cap_stats: list | None = None):
     """Encode consecutive tile_id runs -> columns for the tiles DataFrame.
 
     Inputs are the (tile_id, feature_id)-sorted record columns of one chunk.
     Returns dict of lists/arrays: tile_id, z, x, y, n_features, mvt,
-    content_hash.
+    content_hash. ``max_tile_bytes`` applies the deterministic per-tile
+    byte budget (drop.tile_budget_keep_mask); ``cap_stats`` is a 2-element
+    [tiles_capped, records_dropped] list the kernel increments in place.
     """
     n = len(tid)
     starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
@@ -609,9 +635,26 @@ def encode_sorted_runs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
     # ---- per-tile layer wrap: head + contiguous record bytes + tail
     out_mvt: list[bytes] = []
     out_hash: list[int] = []
+    out_nf = sizes.astype(np.int64)
     buf_bytes = buf.tobytes()
     for gi in range(n_groups):
-        body = buf_bytes[rec_off[starts[gi]]:rec_off[ends[gi]]]
+        s, e = starts[gi], ends[gi]
+        if (max_tile_bytes is not None
+                and rec_off[e] - rec_off[s] > max_tile_bytes):
+            from .drop import tile_budget_keep_mask
+
+            flens = rec_off[s + 1:e + 1] - rec_off[s:e]
+            mask = tile_budget_keep_mask(
+                fid[s:e], flens, int(g_tid[gi]), max_tile_bytes)
+            keep = np.flatnonzero(mask) + s
+            body = b"".join(
+                buf_bytes[rec_off[i]:rec_off[i + 1]] for i in keep)
+            out_nf[gi] = len(keep)
+            if cap_stats is not None:
+                cap_stats[0] += 1
+                cap_stats[1] += int((e - s) - len(keep))
+        else:
+            body = buf_bytes[rec_off[s]:rec_off[e]]
         layer = layer_head + body + layer_tail
         mvt = b"\x1a" + _varint(len(layer)) + layer
         out_mvt.append(mvt)
@@ -622,7 +665,7 @@ def encode_sorted_runs(tid: np.ndarray, fid: np.ndarray, wkbs: np.ndarray,
         "z": g_z.astype(np.int32),
         "x": g_x,
         "y": g_y,
-        "n_features": sizes.astype(np.int64),
+        "n_features": out_nf,
         "mvt": out_mvt,
         "content_hash": np.array(out_hash, dtype=np.int64),
     }

@@ -111,17 +111,24 @@ class PipelineMetrics:
     features_in: object = None
     records_out: object = None
     tiles_out: object = None
+    # per-tile byte-budget thinning (config.max_tile_bytes): how many tiles
+    # were capped and how many records the cap dropped
+    tiles_capped: object = None
+    records_capped: object = None
 
     @classmethod
     def create(cls, spark) -> "PipelineMetrics":
         sc = spark.sparkContext
-        return cls(sc.accumulator(0), sc.accumulator(0), sc.accumulator(0))
+        return cls(sc.accumulator(0), sc.accumulator(0), sc.accumulator(0),
+                   sc.accumulator(0), sc.accumulator(0))
 
     def as_dict(self) -> dict[str, int]:
         return {
             "features_in": int(self.features_in.value),
             "records_out": int(self.records_out.value),
             "tiles_out": int(self.tiles_out.value),
+            "tiles_capped": int(self.tiles_capped.value),
+            "records_capped": int(self.records_capped.value),
         }
 
 
@@ -985,11 +992,13 @@ def make_encoder(config: TilerConfig, metrics: PipelineMetrics | None = None):
     """
     layer_name, extent = config.layer_name, config.extent
     buffer_px = config.buffer_pixels
+    max_tile_bytes = config.max_tile_bytes
     acc_tiles = metrics.tiles_out if metrics else None
 
     def encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         # production path writes empty properties into every tile
         # (pipeline.rs:949, :1215); features carry id + geometry only.
+        cap_stats = [0, 0]
         cols = mvt_fast.encode_sorted_runs(
             pdf["tile_id"].to_numpy(dtype=np.int64),
             pdf["feature_id"].to_numpy(dtype=np.int64),
@@ -997,9 +1006,14 @@ def make_encoder(config: TilerConfig, metrics: PipelineMetrics | None = None):
             layer_name,
             extent,
             buffer_px,
+            max_tile_bytes=max_tile_bytes,
+            cap_stats=cap_stats,
         )
         if acc_tiles is not None:
             acc_tiles.add(len(cols["tile_id"]))
+        if metrics is not None and cap_stats[0]:
+            metrics.tiles_capped.add(cap_stats[0])
+            metrics.records_capped.add(cap_stats[1])
         return pd.DataFrame(cols)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1072,17 +1086,25 @@ def make_wrap_encoder(config: TilerConfig,
     ``make_encoder``, but the per-record geometry work already happened
     map-side."""
     layer_name, extent = config.layer_name, config.extent
+    max_tile_bytes = config.max_tile_bytes
     acc_tiles = metrics.tiles_out if metrics else None
 
     def wrap_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cap_stats = [0, 0]
         cols = mvt_fast.wrap_sorted_msgs(
             pdf["tile_id"].to_numpy(dtype=np.int64),
             pdf["msg"].to_numpy(),
             layer_name,
             extent,
+            fids=pdf["feature_id"].to_numpy(dtype=np.int64),
+            max_tile_bytes=max_tile_bytes,
+            cap_stats=cap_stats,
         )
         if acc_tiles is not None:
             acc_tiles.add(len(cols["tile_id"]))
+        if metrics is not None and cap_stats[0]:
+            metrics.tiles_capped.add(cap_stats[0])
+            metrics.records_capped.add(cap_stats[1])
         return pd.DataFrame(cols)
 
     def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1235,6 +1257,7 @@ def make_merge_encoder(config: TilerConfig, metrics: PipelineMetrics | None = No
     """Phase B: merge salt buckets of a tile in feature_id order and wrap the
     layer — byte-identical to the single-phase encoder."""
     head, tail = mvt_fast.layer_head_tail(config.layer_name, config.extent)
+    max_tile_bytes = config.max_tile_bytes
     acc_tiles = metrics.tiles_out if metrics else None
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1254,12 +1277,37 @@ def make_merge_encoder(config: TilerConfig, metrics: PipelineMetrics | None = No
                 for v in pdf["msgs"].iloc[s:e]:
                     msgs.extend(bytes(m) for m in v)
                 order = np.argsort(fids, kind="stable")
-                mvt = mvt_fast.wrap_layer(head, [msgs[i] for i in order], tail)
+                fids = fids[order]
+                msgs = [msgs[i] for i in order]
+                n_feat = int(pdf["n_records"].iloc[s:e].sum())
+                n_dead = n_feat - len(msgs)  # dead records absent from msgs
+                if max_tile_bytes is not None:
+                    # phase-A messages are UNFRAMED; the budget counts the
+                    # FRAMED length (0x12 + varint + body) so the mask is
+                    # byte-identical to the single-phase/premerge paths
+                    flens = np.fromiter(
+                        (1 + len(mvt_fast._varint(len(m))) + len(m)
+                         for m in msgs),
+                        dtype=np.int64, count=len(msgs))
+                    if int(flens.sum()) > max_tile_bytes:
+                        from .kernels.drop import tile_budget_keep_mask
+
+                        mask = tile_budget_keep_mask(
+                            fids, flens, int(tid[s]), max_tile_bytes)
+                        msgs = [m for m, k in zip(msgs, mask) if k]
+                        if metrics is not None:
+                            metrics.tiles_capped.add(1)
+                            metrics.records_capped.add(
+                                int(len(mask) - mask.sum()))
+                        # dead records are always 'kept' by the budget rule
+                        # (they cost 0 bytes), matching encode_sorted_runs
+                        n_feat = int(mask.sum()) + n_dead
+                mvt = mvt_fast.wrap_layer(head, msgs, tail)
                 rows["tile_id"].append(int(tid[s]))
                 rows["z"].append(int(pdf["z"].iloc[s]))
                 rows["x"].append(int(pdf["x"].iloc[s]))
                 rows["y"].append(int(pdf["y"].iloc[s]))
-                rows["n_features"].append(int(pdf["n_records"].iloc[s:e].sum()))
+                rows["n_features"].append(n_feat)
                 rows["mvt"].append(mvt)
                 rows["content_hash"].append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
             if acc_tiles is not None:
