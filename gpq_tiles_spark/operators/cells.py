@@ -118,3 +118,99 @@ def cover_bbox_cells(lng_min, lat_min, lng_max, lat_max, zoom: int):
     xs = np.clip(xs, 0, n_max)
     ys = np.clip(ys, 0, n_max)
     return ridx % n_rows, pack_cell(xs, ys)
+
+
+# ---------------------------------------------------------------------------
+# Real H3 path (T21): active whenever the `h3` package is installed
+# ---------------------------------------------------------------------------
+#
+# The tile-grid scheme above is the engine's native cell algebra and is what
+# the oracle-green kNN/PIP operators run on. Its semantics differ from true
+# H3 in documented ways (see COVERAGE.md "H3/S2 cells"): square Chebyshev
+# neighborhoods instead of hexagonal k-rings, exact antimeridian wraparound
+# instead of icosahedron faces, and no pentagon special cases. When the h3
+# lib is present the adapters below expose the SAME (idx, cell) API over
+# real H3 indexes so cell-join operators can swap schemes; both h3 v3
+# (geo_to_h3/k_ring) and v4 (latlng_to_cell/grid_disk) names are handled.
+
+
+def _h3_funcs():
+    if not HAS_H3:
+        raise NotImplementedError(
+            "the 'h3' package is not installed — pip install h3, or use the "
+            "native tile-grid cells (latlng_to_cell/grid_disk)"
+        )
+    import h3 as _h3
+
+    if hasattr(_h3, "latlng_to_cell"):  # v4 string api
+        to_cell = _h3.latlng_to_cell
+        disk = _h3.grid_disk
+        to_int = _h3.str_to_int if hasattr(_h3, "str_to_int") else int
+    else:  # v3 api
+        to_cell = _h3.geo_to_h3
+        disk = _h3.k_ring
+        to_int = (_h3.string_to_h3 if hasattr(_h3, "string_to_h3")
+                  else lambda s: int(s, 16))
+    return to_cell, disk, to_int
+
+
+def latlng_to_h3_cell(lng: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """(lng, lat) arrays -> int64 H3 cell indexes at ``res`` (requires h3).
+
+    H3 cell ints fit in 63 bits (mode/res/base-cell bit fields), so the
+    int64 reinterpretation is lossless and joins on the same LongType cell
+    column the tile-grid scheme uses."""
+    to_cell, _disk, to_int = _h3_funcs()
+    lng = np.asarray(lng, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    out = np.fromiter(
+        (to_int(to_cell(la, lo, res)) for lo, la in zip(lng, lat)),
+        dtype=np.uint64, count=len(lng),
+    )
+    return out.astype(np.int64)
+
+
+def h3_grid_disk(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All H3 cells within grid distance k of each input cell ->
+    (input_row_idx, cell) pairs — the same contract as ``grid_disk`` so
+    ring-expansion joins (kNN candidate generation) are scheme-agnostic.
+    Unlike the square grid's fixed (2k+1)^2 fan-out, hex disks hold
+    1+3k(k+1) cells (fewer near pentagons, which h3 handles internally)."""
+    to_cell, disk, to_int = _h3_funcs()
+    import h3 as _h3
+
+    from_int = (_h3.int_to_str if hasattr(_h3, "int_to_str")
+                else (_h3.h3_to_string if hasattr(_h3, "h3_to_string")
+                      else lambda v: v))
+    idx_out: list[int] = []
+    cell_out: list[int] = []
+    for i, c in enumerate(np.asarray(cells, dtype=np.int64)):
+        ring = disk(from_int(np.uint64(c).item()), k)
+        for r in ring:
+            idx_out.append(i)
+            cell_out.append(to_int(r) if isinstance(r, str) else int(r))
+    return (np.asarray(idx_out, dtype=np.int64),
+            np.asarray(cell_out, dtype=np.uint64).astype(np.int64))
+
+
+def with_h3_cell_column(df: DataFrame, lng_col: str, lat_col: str, res: int,
+                        out_col: str = "cell") -> DataFrame:
+    """Attach the real-H3 cell index via an Arrow-batched pandas iterator
+    (h3 is a C scalar call; there is no Catalyst twin for it)."""
+    if not HAS_H3:
+        raise NotImplementedError(
+            "the 'h3' package is not installed — use with_cell_column for "
+            "the native tile-grid scheme"
+        )
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, LongType(), False)]
+    )
+
+    def attach(batches):
+        for pdf in batches:
+            pdf[out_col] = latlng_to_h3_cell(
+                pdf[lng_col].to_numpy(), pdf[lat_col].to_numpy(), res
+            )
+            yield pdf
+
+    return df.mapInPandas(attach, schema=schema)
