@@ -217,6 +217,90 @@ def test_z10_area_preserved(pyramids, corpus):
     assert 0.80 <= ratio <= 1.05, f"area ratio {ratio:.4f}"
 
 
+# ---------------------------------------------------------------------------
+# Line pipeline bands: road-detections (St. Lucia road LineStrings)
+# ---------------------------------------------------------------------------
+
+ROADS = "/root/reference/tests/fixtures/golden/road-detections.pmtiles"
+ROADS_Z10 = [(338, 471), (338, 472)]
+
+
+@pytest.fixture(scope="module")
+def roads_pyramids(spark, tmp_path_factory):
+    """Reconstruct the 1004 road LineStrings from the archive's two z10
+    tiles (no dedup: road property keys repeat, and only <=33 features
+    straddle the tile boundary — a <=3% duplication the bands absorb), run
+    convert() z0-10, and return per-tile counts for both archives. This
+    anchors the LINE drop rules (D4/D5 tiny-line) to real tippecanoe
+    output the way the polygon test anchors D1/D3."""
+    from gpq_tiles_spark.pipeline import convert
+
+    rows = []
+    i = 0
+    for x, y in ROADS_Z10:
+        lay = decode_tile(read_tile(ROADS, 10, x, y))[0]
+        for f in lay["features"]:
+            g = decode_geometry(f)
+            lines = (
+                [g["coordinates"]] if g["type"] == "LineString"
+                else g["coordinates"]
+            )
+            geo = [_px_to_deg(l, 10, x, y) for l in lines if len(l) >= 2]
+            if not geo:
+                continue
+            gg = (
+                (G.LINESTRING, geo[0]) if len(geo) == 1
+                else (G.MULTILINESTRING, geo)
+            )
+            allp = np.vstack(geo)
+            rows.append(
+                (i, str(i), 0, bytearray(G.to_wkb(gg)), int(gg[0]),
+                 float(allp[:, 0].min()), float(allp[:, 1].min()),
+                 float(allp[:, 0].max()), float(allp[:, 1].max()))
+            )
+            i += 1
+    assert len(rows) == 1004  # deterministic reconstruction
+    out = str(tmp_path_factory.mktemp("roadbands") / "ours.pmtiles")
+    df = spark.createDataFrame(rows, FEATURES_SCHEMA)
+    convert(df, out, TilerConfig(min_zoom=0, max_zoom=10, shuffle_partitions=8))
+
+    def counts(path):
+        r = PMTilesReader(path)
+        out_c = {}
+        for tid in r.tile_ids():
+            z, x, y = tile_id_to_zxy(tid)
+            out_c[(z, x, y)] = len(decode_tile(r.get_tile_bytes(tid))[0]["features"])
+        return out_c
+
+    return counts(out), counts(ROADS)
+
+
+def test_roads_tile_set_covers_tippecanoe(roads_pyramids):
+    ours, tipp = roads_pyramids
+    assert set(tipp) <= set(ours), set(tipp) - set(ours)
+
+
+def test_roads_per_zoom_feature_ratio_bands(roads_pyramids):
+    """Observed at authoring time: z0 1.15, z2 1.15, z3-z10 0.91-1.07 —
+    band [0.7, 1.25] for zooms with >=90 tippecanoe features; small-count
+    zooms (z0/z1) get absolute slack (z1 observed 94 vs 49: both engines
+    drop-to-density at low zoom with different line-length weighting)."""
+    ours, tipp = roads_pyramids
+    oz, tz = collections.Counter(), collections.Counter()
+    for (z, _, _), n in ours.items():
+        oz[z] += n
+    for (z, _, _), n in tipp.items():
+        tz[z] += n
+    for z in range(0, 11):
+        o, t = oz.get(z, 0), tz.get(z, 0)
+        assert t > 0
+        if t >= 90:
+            ratio = o / t
+            assert 0.7 <= ratio <= 1.25, f"z{z}: ours={o} tipp={t} ratio={ratio:.3f}"
+        else:
+            assert abs(o - t) <= max(50, t), f"z{z}: ours={o} tipp={t}"
+
+
 def _deg_to_px(pts: np.ndarray, z: int, x: int, y: int) -> np.ndarray:
     """Forward per-tile linear quantization frame (float, no rounding) so
     source and decoded areas are measured in the same px^2 units."""
