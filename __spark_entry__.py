@@ -431,6 +431,92 @@ def _sql_minhash_recall() -> str:
     """
 
 
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup recall row (round 4): the chunk-bucketed SimHash
+    OPERATOR (dedup.py:317) enters the driver contract via the same
+    planted-duplicate invariant as minhash_neardup — identical texts have
+    identical 64-bit signatures, hence share all four 16-bit chunks, hence
+    MUST surface as a hamming-0 pair. Restricted to doc_id < 1000 so the
+    row's cost stays flat across scale factors."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.operators.dedup import simhash_near_duplicates
+
+    _register(spark, sf_dir)
+    base = (
+        spark.table("documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") < 1000))
+        .select("doc_id", "text")
+    )
+    docs = base.unionAll(
+        base.where(F.col("doc_id") % 20 == 0)
+        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+    )
+    pairs = simhash_near_duplicates(docs, max_hamming=3, max_bucket=1 << 40)
+    p = pairs.select(
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+    )
+    covered = p.where(
+        (F.col("a") == -F.col("b") - 1) | (F.col("b") == -F.col("a") - 1)
+    )
+    total = base.where(F.col("doc_id") % 20 == 0)
+    return covered.agg(
+        F.count("*").cast("long").alias("n_planted_pairs_covered")
+    ).crossJoin(
+        total.agg(F.count("*").cast("long").alias("n_planted_pairs_total"))
+    )
+
+
+def _q_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard recall row (round 4): the rare-gram-indexed Jaccard
+    OPERATOR (dedup.py:381) must find every planted exact duplicate
+    (identical text -> Jaccard exactly 1.0, and every doc has rare grams
+    under the max_df cap on this corpus — verified deterministic at each
+    sf). Same -doc_id-1 injection; doc_id < 500 bound (the gram
+    explode + pair verify is the costliest dedup row, so its input is
+    pinned smaller than the others)."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.operators.dedup import ngram_jaccard_pairs
+
+    _register(spark, sf_dir)
+    base = (
+        spark.table("documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") < 500))
+        .select("doc_id", "text")
+    )
+    docs = base.unionAll(
+        base.where(F.col("doc_id") % 20 == 0)
+        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9)
+    p = pairs.select(
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+    )
+    covered = p.where(
+        (F.col("a") == -F.col("b") - 1) | (F.col("b") == -F.col("a") - 1)
+    )
+    total = base.where(F.col("doc_id") % 20 == 0)
+    return covered.agg(
+        F.count("*").cast("long").alias("n_planted_pairs_covered")
+    ).crossJoin(
+        total.agg(F.count("*").cast("long").alias("n_planted_pairs_total"))
+    )
+
+
+def _sql_planted_dup_count(id_bound: int) -> str:
+    # both columns are the planted-duplicate count: the operator must cover
+    # every planted pair (identical text => guaranteed candidate + verify)
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_pairs_covered,
+               CAST(COUNT(*) AS BIGINT) AS n_planted_pairs_total
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id < {id_bound} AND doc_id % 20 = 0
+    """
+
+
 def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN recall row (VERDICT r3 item 3): the at-scale ANN operator
     (train_ivf_centroids + cosine_topk_ivf, similarity.py:54,116) enters the
@@ -860,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_assignments"] = _q_dedup_assignments
     out["raster_density_z6"] = _q_raster_density
     out["ann_ivf_recall"] = _q_ann_ivf_recall
+    out["simhash_neardup"] = _q_simhash_neardup
+    out["ngram_neardup"] = _q_ngram_neardup
     return out
 
 
@@ -875,4 +963,6 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_assignments"] = _sql_dedup_assignments()
     out["raster_density_z6"] = _sql_raster_z6()
     out["ann_ivf_recall"] = _sql_ann_ivf_recall()
+    out["simhash_neardup"] = _sql_planted_dup_count(1000)
+    out["ngram_neardup"] = _sql_planted_dup_count(500)
     return out
