@@ -232,6 +232,37 @@ def test_reference_comparison_table_reproduced():
     assert len(_geojson(10, 516, 377)["features"]) == 484
 
 
+# Per-zoom feature totals of each golden archive, decoded once and pinned
+# as external regression vectors: a decoder drift (zigzag, command ints,
+# layer framing, directory resolution) shifts these before anything else.
+GOLDEN_PER_ZOOM = {
+    "open-buildings.pmtiles": {5: 1, 6: 6, 7: 24, 8: 97, 9: 355, 10: 682},
+    "fieldmaps-boundaries.pmtiles": {
+        0: 2, 1: 4, 2: 7, 3: 7, 4: 7, 5: 7, 6: 10, 7: 14, 8: 29, 9: 45,
+        10: 91,
+    },
+    "road-detections.pmtiles": {
+        0: 34, 1: 49, 2: 99, 3: 213, 4: 345, 5: 508, 6: 721, 7: 991,
+        8: 1043, 9: 1010, 10: 1004,
+    },
+}
+
+
+@pytest.mark.parametrize("name", ARCHIVES)
+def test_per_zoom_feature_totals_pinned(name):
+    from gpq_tiles_spark.kernels.hilbert import tile_id_to_zxy
+    from gpq_tiles_spark.kernels.pmtiles import PMTilesReader
+
+    r = PMTilesReader(os.path.join(GOLDEN, name))
+    per_z: dict[int, int] = {}
+    for tid in r.tile_ids():
+        z, _, _ = tile_id_to_zxy(tid)
+        per_z[z] = per_z.get(z, 0) + len(
+            decode_tile(r.get_tile_bytes(tid))[0]["features"]
+        )
+    assert per_z == GOLDEN_PER_ZOOM[name]
+
+
 def test_read_tile_absent_and_decode_flag():
     path = os.path.join(GOLDEN, "open-buildings.pmtiles")
     assert read_tile(path, 10, 0, 0) is None
