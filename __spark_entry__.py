@@ -431,6 +431,70 @@ def _sql_minhash_recall() -> str:
     """
 
 
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force dot-product top-k, Spark side routed through a
+    vectorized Arrow kernel (round 4: the last pure-SQL north-star row).
+
+    Bit-parity with the SQL oracle: the SQL folds the products
+    left-to-right in double (aggregate(zip_with(...)) / list_dot_product),
+    so the kernel accumulates the SAME order — one vectorized
+    ``acc = acc + a[:, d] * b[d]`` step per dimension (IEEE elementwise ==
+    the scalar fold), never np.dot (whose pairwise/SIMD summation rounds
+    differently and could flip near-tie ranks). Ranking happens in Spark
+    SQL over the scored pairs, identical ORDER BY."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    probes = emb.where(F.col("vec_id") < 5).collect()
+    p_ids = np.array([r.vec_id for r in probes], dtype=np.int64)
+    p_mat = np.array([r.embedding for r in probes], dtype=np.float64)
+    schema = StructType([
+        StructField("probe_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("dot", DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, dim = mat.shape
+            acc = np.zeros((n, len(p_ids)), dtype=np.float64)
+            for d in range(dim):  # left-to-right fold, matching the SQL
+                acc = acc + mat[:, d, None] * p_mat[None, :, d]
+            out = pd.DataFrame({
+                "probe_id": np.tile(p_ids, n),
+                "vec_id": np.repeat(ids, len(p_ids)),
+                "dot": acc.reshape(-1),
+            })
+            yield out[out["probe_id"] != out["vec_id"]]
+
+    scored = emb.mapInPandas(score, schema=schema)
+    scored.createOrReplaceTempView("ann_scored")
+    return spark.sql("""
+        SELECT probe_id, rnk, vec_id
+        FROM (
+          SELECT probe_id, vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY probe_id ORDER BY dot DESC, vec_id ASC
+                 ) AS rnk
+          FROM ann_scored
+        ) t
+        WHERE rnk <= 10
+    """)
+
+
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup recall row (round 4): the chunk-bucketed SimHash
     OPERATOR (dedup.py:317) enters the driver contract via the same
@@ -946,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_assignments"] = _q_dedup_assignments
     out["raster_density_z6"] = _q_raster_density
     out["ann_ivf_recall"] = _q_ann_ivf_recall
+    out["ann_cosine_topk"] = _q_ann_cosine_topk
     out["simhash_neardup"] = _q_simhash_neardup
     out["ngram_neardup"] = _q_ngram_neardup
     return out
