@@ -2,7 +2,41 @@
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**40), st.integers(0, 500)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 4000),
+    st.integers(0, 2**30),
+)
+def test_tile_budget_keep_mask_properties(recs, budget, tile_id):
+    """Invariants of the byte-budget rule: (a) under-budget keeps all;
+    (b) kept live bytes fit the budget OR exactly one live record is kept;
+    (c) zero-length records always kept; (d) order-independent (the kept
+    fid SET survives a permutation); (e) deterministic."""
+    from gpq_tiles_spark.kernels.drop import tile_budget_keep_mask
+
+    fids = np.array([r[0] for r in recs], dtype=np.int64)
+    lens = np.array([r[1] for r in recs], dtype=np.int64)
+    m = tile_budget_keep_mask(fids, lens, tile_id, budget)
+    if lens.sum() <= budget:
+        assert m.all()
+        return
+    assert m[lens == 0].all()
+    kept_live = lens[m & (lens > 0)]
+    assert kept_live.sum() <= budget or len(kept_live) == 1
+    perm = np.random.default_rng(0).permutation(len(fids))
+    m2 = tile_budget_keep_mask(fids[perm], lens[perm], tile_id, budget)
+    assert set(fids[m]) == set(fids[perm][m2])
+    m3 = tile_budget_keep_mask(fids, lens, tile_id, budget)
+    assert (m == m3).all()
 
 
 def test_knn_join_probe_guard(spark, monkeypatch):
