@@ -495,29 +495,28 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup recall row (round 4): the chunk-bucketed SimHash
-    OPERATOR (dedup.py:317) enters the driver contract via the same
-    planted-duplicate invariant as minhash_neardup — identical texts have
-    identical 64-bit signatures, hence share all four 16-bit chunks, hence
-    MUST surface as a hamming-0 pair. Restricted to doc_id < 1000 so the
-    row's cost stays flat across scale factors."""
+def _planted_dup_row(spark: SparkSession, sf_dir: str, id_bound: int,
+                     pairs_fn) -> DataFrame:
+    """Shared planted-duplicate recall row: inject an exact copy of every
+    (doc_id %% 20 == 0, doc_id < id_bound) doc under -doc_id-1 (negative
+    ids are collision-proof at any sf), run the near-dup OPERATOR via
+    ``pairs_fn(docs) -> (doc_a, doc_b, ...)``, and count how many planted
+    pairs it covered vs how many exist. Identical text guarantees coverage
+    for every operator wired here, so covered == total is the oracle
+    equality (see _sql_planted_dup_count)."""
     from pyspark.sql import functions as F
-
-    from gpq_tiles_spark.operators.dedup import simhash_near_duplicates
 
     _register(spark, sf_dir)
     base = (
         spark.table("documents")
-        .where(F.col("text").isNotNull() & (F.col("doc_id") < 1000))
+        .where(F.col("text").isNotNull() & (F.col("doc_id") < id_bound))
         .select("doc_id", "text")
     )
     docs = base.unionAll(
         base.where(F.col("doc_id") % 20 == 0)
         .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
     )
-    pairs = simhash_near_duplicates(docs, max_hamming=3, max_bucket=1 << 40)
-    p = pairs.select(
+    p = pairs_fn(docs).select(
         F.col("doc_a").cast("long").alias("a"),
         F.col("doc_b").cast("long").alias("b"),
     )
@@ -529,44 +528,35 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_planted_pairs_covered")
     ).crossJoin(
         total.agg(F.count("*").cast("long").alias("n_planted_pairs_total"))
+    )
+
+
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup recall row (round 4): the chunk-bucketed SimHash
+    OPERATOR (dedup.py:317) enters the driver contract — identical texts
+    have identical 64-bit signatures, hence share all four 16-bit chunks,
+    hence MUST surface as a hamming-0 pair."""
+    from gpq_tiles_spark.operators.dedup import simhash_near_duplicates
+
+    return _planted_dup_row(
+        spark, sf_dir, 1000,
+        lambda docs: simhash_near_duplicates(
+            docs, max_hamming=3, max_bucket=1 << 40),
     )
 
 
 def _q_ngram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard recall row (round 4): the rare-gram-indexed Jaccard
     OPERATOR (dedup.py:381) must find every planted exact duplicate
-    (identical text -> Jaccard exactly 1.0, and every doc has rare grams
-    under the max_df cap on this corpus — verified deterministic at each
-    sf). Same -doc_id-1 injection; doc_id < 500 bound (the gram
-    explode + pair verify is the costliest dedup row, so its input is
-    pinned smaller than the others)."""
-    from pyspark.sql import functions as F
-
+    (identical text -> Jaccard exactly 1.0; every doc has rare grams under
+    the max_df cap on this corpus — verified deterministic per sf).
+    doc_id < 500 bound: the gram explode + pair verify is the costliest
+    dedup row."""
     from gpq_tiles_spark.operators.dedup import ngram_jaccard_pairs
 
-    _register(spark, sf_dir)
-    base = (
-        spark.table("documents")
-        .where(F.col("text").isNotNull() & (F.col("doc_id") < 500))
-        .select("doc_id", "text")
-    )
-    docs = base.unionAll(
-        base.where(F.col("doc_id") % 20 == 0)
-        .select((-F.col("doc_id") - 1).alias("doc_id"), "text")
-    )
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9)
-    p = pairs.select(
-        F.col("doc_a").cast("long").alias("a"),
-        F.col("doc_b").cast("long").alias("b"),
-    )
-    covered = p.where(
-        (F.col("a") == -F.col("b") - 1) | (F.col("b") == -F.col("a") - 1)
-    )
-    total = base.where(F.col("doc_id") % 20 == 0)
-    return covered.agg(
-        F.count("*").cast("long").alias("n_planted_pairs_covered")
-    ).crossJoin(
-        total.agg(F.count("*").cast("long").alias("n_planted_pairs_total"))
+    return _planted_dup_row(
+        spark, sf_dir, 500,
+        lambda docs: ngram_jaccard_pairs(docs, n=3, threshold=0.9),
     )
 
 

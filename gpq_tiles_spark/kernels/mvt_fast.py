@@ -155,6 +155,11 @@ def wrap_sorted_msgs(tid: np.ndarray, msgs, layer_name: str, extent: int,
     ``encode_sorted_runs``. ``max_tile_bytes`` applies the same per-tile
     byte budget as encode_sorted_runs (requires ``fids``) so both layouts
     stay byte-identical. Returns the TILES_SCHEMA column dict."""
+    if max_tile_bytes is not None and fids is None:
+        raise ValueError(
+            "wrap_sorted_msgs: max_tile_bytes requires fids (the budget "
+            "rule keys on feature_id)"
+        )
     n = len(tid)
     starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     ends = np.append(starts[1:], n)

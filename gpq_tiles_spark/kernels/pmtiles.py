@@ -426,6 +426,28 @@ class PMTilesReader:
         h = self.header
         root = self.data[h.root_dir_offset : h.root_dir_offset + h.root_dir_length]
         self.entries = decode_directory(decompress(root, h.internal_compression))
+        # foreign archives may use leaf directories (root run_length==0
+        # entries pointing into the leaf section): expand them so
+        # tile_ids()/get_tile_bytes() agree with read_tile on the same file
+        if any(e.run_length == 0 for e in self.entries):
+            expanded: list[DirEntry] = []
+            for e in self.entries:
+                if e.run_length != 0:
+                    expanded.append(e)
+                    continue
+                leaf_raw = self.data[
+                    h.leaf_dirs_offset + e.offset
+                    : h.leaf_dirs_offset + e.offset + e.length
+                ]
+                leaf = decode_directory(
+                    decompress(leaf_raw, h.internal_compression)
+                )
+                if any(le.run_length == 0 for le in leaf):
+                    raise ValueError(
+                        "nested leaf directories are not valid PMTiles v3"
+                    )
+                expanded.extend(leaf)
+            self.entries = expanded
         meta_raw = self.data[
             h.json_metadata_offset : h.json_metadata_offset + h.json_metadata_length
         ]

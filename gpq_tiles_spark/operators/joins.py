@@ -178,11 +178,15 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
     > (r-1) minimum cell heights in lat, so once the kth candidate distance
     is <= ((r-1) * min_cell_extent)^2 no farther ring can improve the result.
     """
-    n_probes = probes.count()
-    if n_probes > KNN_DRIVER_MAX_PROBES:
+    # single early-stopping pass: take(cap+1) bounds driver memory AND
+    # detects the over-cap case without a separate count() job re-running
+    # the probe lineage
+    probe_rows = probes.select(probe_id, "lng", "lat").take(
+        KNN_DRIVER_MAX_PROBES + 1)
+    if len(probe_rows) > KNN_DRIVER_MAX_PROBES:
         raise ValueError(
-            f"knn_join: {n_probes} probes would be collect()ed to the driver "
-            f"(> {KNN_DRIVER_MAX_PROBES}). This is the driver-loop variant "
+            f"knn_join: more than {KNN_DRIVER_MAX_PROBES} probes would be "
+            "collect()ed to the driver. This is the driver-loop variant "
             "for small probe sets — use knn_join_distributed, which keeps "
             "probes a DataFrame end-to-end."
         )
@@ -190,7 +194,6 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
         points.select(F.col(point_id).alias("point_id"), "lng", "lat"),
         "lng", "lat", zoom,
     ).cache()
-    probe_rows = probes.select(probe_id, "lng", "lat").collect()
     p_ids = [r[0] for r in probe_rows]
     p_lng = np.array([r[1] for r in probe_rows])
     p_lat = np.array([r[2] for r in probe_rows])

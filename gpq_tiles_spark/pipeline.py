@@ -1177,24 +1177,20 @@ PREMERGE_AUTO_WKB_BYTES = 512
 
 
 def _resolve_premerge(features: DataFrame, premerge) -> bool:
-    """Resolve premerge='auto' from the first 2048 rows of PARTITION 0 —
-    a deterministic sample for a fixed input layout (a bare limit() takes
-    whichever partitions answer first, so the auto choice could flip
+    """Resolve premerge='auto' from the FIRST 2048 rows in partition order
+    — deterministic for a fixed input layout (a mid-plan limit() gathers
+    whichever partitions answer first, so the old auto choice could flip
     between runs on heterogeneous corpora; ADVICE r3). Output bytes are
-    identical either way; this only pins WHICH plan runs. Costs one small
-    Spark job per convert call (partition 0 only — the where(_pid=0) sits
-    under CollectLimit, which opens partitions in order)."""
+    identical either way; this only pins WHICH plan runs. take() executes
+    via driver-side CollectLimit: partition 0 runs first and later
+    partitions are opened only if it held fewer than 2048 rows — so the
+    sample is both early-stopping (no full scan) and empty-partition-safe."""
     if premerge != "auto":
         return bool(premerge)
-    row = (
-        features.select(F.length("wkb").alias("l"),
-                        F.spark_partition_id().alias("_pid"))
-        .where(F.col("_pid") == 0)
-        .limit(2048)
-        .agg(F.avg("l").alias("m"))
-        .collect()[0]
-    )
-    mean_wkb = float(row["m"]) if row["m"] is not None else 0.0
+    vals = features.select(F.length("wkb").alias("l")).take(2048)
+    if not vals:
+        return False
+    mean_wkb = sum(r["l"] for r in vals) / len(vals)
     return mean_wkb >= PREMERGE_AUTO_WKB_BYTES
 
 

@@ -346,6 +346,13 @@ def test_read_tile_follows_leaf_directory(tmp_path):
     # a tile the leaf doesn't hold
     other = [(x, y) for x in range(4) for y in range(4) if (x, y) != found][0]
     assert read_tile(p, 2, *other) is None
+    # PMTilesReader must agree with read_tile on leaf archives (it expands
+    # leaf pointers at open time)
+    from gpq_tiles_spark.kernels.pmtiles import PMTilesReader
+
+    r = PMTilesReader(p)
+    assert r.tile_ids() == [5]
+    assert r.get_tile_bytes(5) == b"\x1a\x00"
 
 
 def test_read_tile_rejects_nested_leaf(tmp_path):
