@@ -32,6 +32,11 @@ def main() -> None:
     p.add_argument("--geoparquet", action="store_true")
     p.add_argument("--work-dir", default=None, help="enable checkpoint/resume")
     p.add_argument("--feature-id-mode", default="hash", choices=["hash", "rownum"])
+    p.add_argument("--max-tile-bytes", type=int, default=None,
+                   help="per-tile byte budget: oversized tiles are "
+                        "deterministically thinned (tippecanoe's default "
+                        "500KB limit analog; omit for --no-tile-size-limit "
+                        "behavior)")
     p.add_argument("--progress", action="store_true",
                    help="print phase start/progress/complete events")
     args = p.parse_args()
@@ -44,6 +49,7 @@ def main() -> None:
     cfg = TilerConfig(
         min_zoom=args.min_zoom, max_zoom=args.max_zoom,
         layer_name=args.layer_name, tile_compression=args.compression,
+        max_tile_bytes=args.max_tile_bytes,
     ).validate()
 
     if args.work_dir:
