@@ -22,6 +22,14 @@ class TilerConfig:
     # import-gated: active when the lib is installed; ref default is zstd,
     # cli/main.rs:69 — gzip here because the container lacks the libs)
     simplification: str = "dp"  # dp (reference parity) | visvalingam (T18)
+    # property writing [extension BEYOND the reference: its tile writer
+    # emits empty properties — pipeline.rs:949/:1045 "Empty properties for
+    # now" — while its TilerConfig carries the -y/-x/-X filters for field
+    # METADATA only]. write_properties=True serializes each feature's
+    # ``props`` column into real MVT tags with layer-level key/value
+    # dictionaries, after applying the include/exclude filters below.
+    # Default False keeps byte parity with the reference's actual output.
+    write_properties: bool = False
     include_properties: list[str] | None = None
     exclude_properties: list[str] | None = None
     exclude_all_properties: bool = False

@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -1467,6 +1468,202 @@ def encode_tiles(records: DataFrame, config: TilerConfig,
     return sorted_recs.mapInPandas(make_encoder(config, metrics), schema=TILES_SCHEMA)
 
 
+PROPS_FIELD_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("key", StringType(), False),
+            StructField("val", BinaryType(), False),
+        ]
+    )
+)
+
+
+def encode_props_column(df: DataFrame, cols: list[str],
+                        out_col: str = "props") -> DataFrame:
+    """Pack the named columns into a ``props`` array of (key, Value-bytes)
+    structs — values pre-encoded as MVT ``Tile.Value`` messages
+    (kernels.mvt.encode_value) so downstream tile encoding only interns
+    bytes. NULLs are omitted per feature (MVT has no null value kind)."""
+    from .kernels.mvt import encode_value
+
+    schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, PROPS_FIELD_SCHEMA)]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                row = []
+                for c in cols:
+                    v = pdf[c].iloc[i]
+                    if v is None or (isinstance(v, float) and np.isnan(v)):
+                        continue
+                    if isinstance(v, np.integer):
+                        v = int(v)
+                    elif isinstance(v, np.floating):
+                        v = float(v)
+                    elif isinstance(v, np.bool_):
+                        v = bool(v)
+                    row.append({"key": c, "val": encode_value(v)})
+                out.append(row)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(pack, schema=schema)
+
+
+def _apply_property_filter(config: TilerConfig):
+    """-y/-x/-X semantics over a props entry list (property_filter.rs:19-72
+    applied to TAGS here, not just field metadata)."""
+    if config.exclude_all_properties:
+        return lambda items: []
+    inc = set(config.include_properties) if config.include_properties is not None else None
+    exc = set(config.exclude_properties or ())
+    def f(items):
+        return [
+            it for it in items
+            if (inc is None or it["key"] in inc) and it["key"] not in exc
+        ]
+    return f
+
+
+def make_props_encoder(config: TilerConfig,
+                       metrics: PipelineMetrics | None = None):
+    """Tile encoder that writes REAL per-feature MVT tags with layer-level
+    key/value dictionaries [extension beyond the reference — its writer
+    emits empty properties, pipeline.rs:949]. Scalar per-feature assembly
+    via kernels.mvt primitives: the property path trades the vectorized
+    fast encoder for tag interning, which needs per-tile dictionary state;
+    the propertyless production path (make_encoder / premerge) stays fully
+    vectorized and byte-identical to the reference's layout."""
+    layer_name, extent = config.layer_name, config.extent
+    buffer_px = config.buffer_pixels
+    prop_filter = _apply_property_filter(config)
+    acc_tiles = metrics.tiles_out if metrics else None
+
+    def encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .kernels import gridclip as GC
+        from .kernels.mvt import (
+            encode_feature,
+            encode_geometry,
+            encode_layer,
+            encode_tile,
+        )
+        from .kernels.hashes import content_hash64
+
+        tid = pdf["tile_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+        ends = np.append(starts[1:], len(tid))
+        g_z, g_x, g_y = H.tile_id_to_zxy_vec(tid[starts])
+        lng0a, lat0a, lng1a, lat1a = T.tile_bounds_mixed(g_x, g_y, g_z)
+        rows = {k: [] for k in ("tile_id", "z", "x", "y", "n_features",
+                                "mvt", "content_hash")}
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            lng0, lat0 = float(lng0a[gi]), float(lat0a[gi])
+            lng1, lat1 = float(lng1a[gi]), float(lat1a[gi])
+            keys: list[str] = []
+            key_idx: dict[str, int] = {}
+            vals: list[bytes] = []
+            val_idx: dict[bytes, int] = {}
+            msgs: list[bytes] = []
+            n_feat = 0
+            for i in range(s, e):
+                wkb = bytes(pdf["wkb"].iloc[i])
+                if len(wkb) == 0:
+                    # fully-inside marker: canonical buffered-rect polygon
+                    # (same construction as the fast path's
+                    # _canonical_rect_msg_tail)
+                    buf = (lng1 - lng0) * buffer_px / extent
+                    wkb = GC.rect_wkb(lng0 - buf, lat0 - buf,
+                                      lng1 + buf, lat1 + buf)
+                g = G.from_wkb(wkb)
+                cmds, gtype = encode_geometry(g, lng0, lat0, lng1, lat1, extent)
+                if not cmds:
+                    continue
+                tags: list[int] = []
+                items = pdf["props"].iloc[i]
+                if items is not None:
+                    for it in prop_filter(list(items)):
+                        k = it["key"]
+                        vb = bytes(it["val"])
+                        ki = key_idx.get(k)
+                        if ki is None:
+                            ki = key_idx[k] = len(keys)
+                            keys.append(k)
+                        vi = val_idx.get(vb)
+                        if vi is None:
+                            vi = val_idx[vb] = len(vals)
+                            vals.append(vb)
+                        tags.extend((ki, vi))
+                msgs.append(encode_feature(int(pdf["feature_id"].iloc[i]),
+                                           tags, gtype, cmds))
+                n_feat += 1
+            if not msgs:
+                continue
+            mvt = encode_tile([encode_layer(layer_name, msgs, keys, vals, extent)])
+            rows["tile_id"].append(int(tid[s]))
+            rows["z"].append(int(g_z[gi]))
+            rows["x"].append(int(g_x[gi]))
+            rows["y"].append(int(g_y[gi]))
+            rows["n_features"].append(n_feat)
+            rows["mvt"].append(mvt)
+            rows["content_hash"].append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+        if acc_tiles is not None:
+            acc_tiles.add(len(rows["tile_id"]))
+        return pd.DataFrame(rows)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            tids = pdf["tile_id"].to_numpy()
+            cut = int(np.searchsorted(tids, tids[-1], side="left"))
+            pend = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield encode_chunk(body)
+        if pend is not None and len(pend):
+            yield encode_chunk(pend)
+
+    return encode
+
+
+def encode_tiles_with_props(records: DataFrame, props: DataFrame,
+                            config: TilerConfig,
+                            num_partitions: int | None = None,
+                            metrics: PipelineMetrics | None = None,
+                            by_range: bool = True) -> DataFrame:
+    """records + (feature_id, props) -> per-tile MVT rows WITH tags.
+
+    The property table joins onto the fan-out records on feature_id —
+    expressed declaratively so Catalyst broadcast-joins small property
+    tables and shuffle-joins big ones (AQE decides at runtime). The tile
+    shuffle and run-carry grouping mirror encode_tiles."""
+    parts = num_partitions or config.shuffle_partitions
+    joined = records.join(
+        props.select("feature_id", "props"), "feature_id", "left"
+    )
+    if by_range:
+        shuffled = (
+            joined.repartitionByRange(parts, "tile_id")
+            if parts else joined.repartitionByRange("tile_id")
+        )
+    else:
+        shuffled = (
+            joined.repartition(parts, "tile_id")
+            if parts else joined.repartition("tile_id")
+        )
+    sorted_recs = shuffled.sortWithinPartitions("tile_id", "feature_id")
+    return sorted_recs.mapInPandas(make_props_encoder(config, metrics),
+                                   schema=TILES_SCHEMA)
+
+
 def encode_single_tile(features: list[tuple[int, bytes]], z: int, x: int, y: int,
                        config: TilerConfig | None = None) -> bytes | None:
     """Reference ``generate_single_tile`` analog (pipeline.rs:1753):
@@ -2035,7 +2232,22 @@ def convert_sharded(features: DataFrame, output_path: str,
         # output to disk just to sample it). Global tile order is restored
         # later on the 40-byte entry rows only.
         parts = config.shuffle_partitions
-        if not salted and _resolve_premerge(features, premerge):
+        if config.write_properties:
+            if salted:
+                raise ValueError(
+                    "convert_sharded: write_properties=True cannot combine "
+                    "with salted=True"
+                )
+            if "props" not in features.columns:
+                raise ValueError(
+                    "convert_sharded: write_properties=True requires a "
+                    "'props' column — build it with encode_props_column"
+                )
+            records = fanout_records(features, config)
+            tiles = encode_tiles_with_props(
+                records, features.select("feature_id", "props"), config,
+                by_range=False)
+        elif not salted and _resolve_premerge(features, premerge):
             # map-side message encode: the shuffle carries zigzag-varint
             # feature messages (~5-8x smaller than WKB on vertex-dense
             # input) and the reduce side only sorts + concatenates — this
@@ -2217,7 +2429,24 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
     # happens exactly once, map-side. This is the Spark analog of the
     # reference writing phase-1 runs to disk before its phase-2 external
     # sort (external_sort.rs:99-189).
-    if salted:
+    if config.write_properties:
+        if salted:
+            raise ValueError(
+                "convert: write_properties=True uses the tag-interning "
+                "encoder and cannot combine with salted=True"
+            )
+        if "props" not in features.columns:
+            raise ValueError(
+                "convert: write_properties=True requires a 'props' column "
+                "(array<struct<key string, val binary>>) — build it with "
+                "encode_props_column(df, cols)"
+            )
+        records = fanout_records(features, config, metrics).persist(
+            StorageLevel.DISK_ONLY)
+        tiles = encode_tiles_with_props(
+            records, features.select("feature_id", "props"), config,
+            metrics=metrics)
+    elif salted:
         records = fanout_records(features, config, metrics).persist(
             StorageLevel.DISK_ONLY)
         hot = detect_hot_tiles(features, config)

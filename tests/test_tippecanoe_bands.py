@@ -217,6 +217,71 @@ def test_z10_area_preserved(pyramids, corpus):
     assert 0.80 <= ratio <= 1.05, f"area ratio {ratio:.4f}"
 
 
+def test_property_tags_round_trip_vs_tippecanoe(spark, tmp_path):
+    """External anchor for the write_properties extension: rebuild the
+    open-buildings z10 tile corpus WITH its tippecanoe-written properties,
+    run the distributed property pipeline at z10, and require every
+    kept feature's decoded tag dict to appear in tippecanoe's own tag
+    multiset for the same tile (wire kinds may differ — tippecanoe uses
+    uint/sint variants — so values are compared post-decode)."""
+    from collections import Counter
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import convert, encode_props_column
+
+    x, y = 516, 377
+    lay = decode_tile(read_tile(ARCHIVE, 10, x, y))[0]
+    rows = []
+    tipp_props = Counter()
+    for i, f in enumerate(lay["features"]):
+        g = decode_geometry(f)
+        if g["type"] not in ("Polygon", "MultiPolygon"):
+            continue
+        props = feature_properties(f, lay["keys"], lay["values"])
+        key = (props.get("boundary_id"), round(float(props.get("area_in_meters")), 4),
+               props.get("bf_source"))
+        tipp_props[key] += 1
+        polys = [g["coordinates"]] if g["type"] == "Polygon" else g["coordinates"]
+        geo_polys = [[_px_to_deg(r, 10, x, y) for r in rings] for rings in polys]
+        gg = (
+            (G.POLYGON, geo_polys[0]) if len(geo_polys) == 1
+            else (G.MULTIPOLYGON, geo_polys)
+        )
+        t, d = gg
+        allp = np.vstack(d) if t == G.POLYGON else np.vstack([r for p in d for r in p])
+        rows.append(
+            (i, str(i), 0, bytearray(G.to_wkb(gg)), int(t),
+             float(allp[:, 0].min()), float(allp[:, 1].min()),
+             float(allp[:, 0].max()), float(allp[:, 1].max()),
+             int(props["boundary_id"]), float(props["area_in_meters"]),
+             str(props["bf_source"]))
+        )
+    schema = (
+        "feature_id long, doc_id string, span_offset int, wkb binary, "
+        "geom_type int, lng_min double, lat_min double, lng_max double, "
+        "lat_max double, boundary_id long, area_in_meters double, "
+        "bf_source string"
+    )
+    df = encode_props_column(
+        spark.createDataFrame(rows, schema),
+        ["boundary_id", "area_in_meters", "bf_source"],
+    )
+    out = str(tmp_path / "props_anchor.pmtiles")
+    convert(df, out, TilerConfig(min_zoom=10, max_zoom=10,
+                                 shuffle_partitions=4,
+                                 write_properties=True))
+    ours = decode_tile(read_tile(out, 10, x, y))[0]
+    assert len(ours["features"]) >= 0.8 * len(rows)  # drop rules thin a few
+    ours_props = Counter()
+    for f in ours["features"]:
+        p = feature_properties(f, ours["keys"], ours["values"])
+        assert set(p) == {"boundary_id", "area_in_meters", "bf_source"}
+        ours_props[(p["boundary_id"], round(float(p["area_in_meters"]), 4),
+                    p["bf_source"])] += 1
+    # every tag tuple we wrote exists in tippecanoe's multiset
+    assert not (ours_props - tipp_props), (ours_props - tipp_props)
+
+
 # ---------------------------------------------------------------------------
 # Line pipeline bands: road-detections (St. Lucia road LineStrings)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+"""Property serialization into tiles (round-4 extension BEYOND the
+reference: its writer emits empty properties — pipeline.rs:949/:1045
+"Empty properties for now" — while tippecanoe archives carry real tags).
+
+write_properties=True serializes each feature's props column into MVT tags
+with layer-level key/value dictionaries; -y/-x/-X filters apply to the
+tags. Default stays off, keeping byte parity with the reference."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gpq_tiles_spark.config import TilerConfig
+from gpq_tiles_spark.extract import FEATURES_SCHEMA
+from gpq_tiles_spark.kernels import geom as G
+from gpq_tiles_spark.kernels.mvt import decode_tile, feature_properties
+from gpq_tiles_spark.kernels.pmtiles import PMTilesReader, read_tile
+from gpq_tiles_spark.pipeline import (
+    convert,
+    convert_sharded,
+    encode_props_column,
+)
+
+
+@pytest.fixture(scope="module")
+def prop_features(spark):
+    """Six small polygons with typed properties (string/double/long/bool)."""
+    rows = []
+    for i in range(6):
+        cx, cy = 10.0 + i * 3.0, 40.0 + (i % 2) * 2.0
+        ring = np.array([
+            [cx, cy], [cx + 1.0, cy], [cx + 1.0, cy + 1.0],
+            [cx, cy + 1.0], [cx, cy],
+        ])
+        wkb = G.to_wkb((G.POLYGON, [ring]))
+        rows.append((i, str(i), 0, bytearray(wkb), G.POLYGON,
+                     cx, cy, cx + 1.0, cy + 1.0,
+                     f"zone-{i}", 10.5 + i, i * 3, i % 2 == 0))
+    schema = (
+        "feature_id long, doc_id string, span_offset int, wkb binary, "
+        "geom_type int, lng_min double, lat_min double, lng_max double, "
+        "lat_max double, name string, height double, floors long, "
+        "active boolean"
+    )
+    df = spark.createDataFrame(rows, schema)
+    return encode_props_column(df, ["name", "height", "floors", "active"])
+
+
+def _props_by_fid(path, max_zoom):
+    r = PMTilesReader(path)
+    out = {}
+    for tid in r.tile_ids():
+        lay = decode_tile(r.get_tile_bytes(tid))[0]
+        for f in lay["features"]:
+            out.setdefault(f["id"], feature_properties(f, lay["keys"], lay["values"]))
+    return out
+
+
+def test_properties_roundtrip(spark, prop_features, tmp_path):
+    out = str(tmp_path / "props.pmtiles")
+    cfg = TilerConfig(min_zoom=2, max_zoom=4, shuffle_partitions=4,
+                      write_properties=True)
+    stats = convert(prop_features, out, cfg)
+    assert stats["tiles"] > 0
+    got = _props_by_fid(out, 4)
+    assert set(got) == set(range(6))
+    for i in range(6):
+        p = got[i]
+        assert p["name"] == f"zone-{i}"
+        assert math.isclose(p["height"], 10.5 + i)
+        assert p["floors"] == i * 3
+        assert p["active"] is (i % 2 == 0)
+
+
+def test_property_filters(spark, prop_features, tmp_path):
+    inc = str(tmp_path / "inc.pmtiles")
+    convert(prop_features, inc,
+            TilerConfig(min_zoom=2, max_zoom=3, shuffle_partitions=4,
+                        write_properties=True, include_properties=["name"]))
+    got = _props_by_fid(inc, 3)
+    assert all(set(p) == {"name"} for p in got.values())
+
+    exc = str(tmp_path / "exc.pmtiles")
+    convert(prop_features, exc,
+            TilerConfig(min_zoom=2, max_zoom=3, shuffle_partitions=4,
+                        write_properties=True,
+                        exclude_properties=["height", "active"]))
+    got = _props_by_fid(exc, 3)
+    assert all(set(p) == {"name", "floors"} for p in got.values())
+
+    xall = str(tmp_path / "xall.pmtiles")
+    convert(prop_features, xall,
+            TilerConfig(min_zoom=2, max_zoom=3, shuffle_partitions=4,
+                        write_properties=True, exclude_all_properties=True))
+    got = _props_by_fid(xall, 3)
+    assert all(p == {} for p in got.values())
+
+
+def test_props_sharded_byte_identical(spark, prop_features, tmp_path):
+    cfg = TilerConfig(min_zoom=2, max_zoom=4, shuffle_partitions=4,
+                      write_properties=True)
+    p1 = str(tmp_path / "single.pmtiles")
+    p2 = str(tmp_path / "sharded.pmtiles")
+    convert(prop_features, p1, cfg)
+    convert_sharded(prop_features, p2, cfg)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_props_requires_column_and_rejects_salted(spark, prop_features, tmp_path):
+    cfg = TilerConfig(write_properties=True)
+    bare = prop_features.drop("props")
+    with pytest.raises(ValueError, match="props"):
+        convert(bare, str(tmp_path / "x.pmtiles"), cfg)
+    with pytest.raises(ValueError, match="salted"):
+        convert(prop_features, str(tmp_path / "y.pmtiles"), cfg, salted=True)
+
+
+def test_default_path_unchanged_with_props_column(spark, prop_features, tmp_path):
+    """write_properties=False ignores the props column entirely — bytes
+    equal a convert over the same features without it."""
+    cfg = TilerConfig(min_zoom=2, max_zoom=3, shuffle_partitions=4)
+    p1 = str(tmp_path / "with.pmtiles")
+    p2 = str(tmp_path / "without.pmtiles")
+    convert(prop_features, p1, cfg)
+    convert(prop_features.drop("props"), p2, cfg)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
