@@ -30,6 +30,10 @@ class TilerConfig:
     # dictionaries, after applying the include/exclude filters below.
     # Default False keeps byte parity with the reference's actual output.
     write_properties: bool = False
+    # vector_layers[].fields for the archive metadata JSON ({name ->
+    # "String"|"Number"|"Boolean"}); derive from the source with
+    # sources.geoparquet.field_metadata or pipeline.props_field_metadata
+    layer_fields: dict[str, str] | None = None
     include_properties: list[str] | None = None
     exclude_properties: list[str] | None = None
     exclude_all_properties: bool = False

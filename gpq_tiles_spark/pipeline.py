@@ -1514,6 +1514,24 @@ def encode_props_column(df: DataFrame, cols: list[str],
     return df.mapInPandas(pack, schema=schema)
 
 
+def props_field_metadata(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    """Spark dtype -> MVT field-type map for the archive metadata JSON
+    (String/Number/Boolean — the same mapping as the S5 GeoParquet
+    field_metadata, batch_processor.rs:424-467)."""
+    out = {}
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        t = by_name.get(c, "string")
+        if t == "boolean":
+            out[c] = "Boolean"
+        elif t in ("tinyint", "smallint", "int", "bigint", "float",
+                   "double") or t.startswith("decimal"):
+            out[c] = "Number"
+        else:
+            out[c] = "String"
+    return out
+
+
 def _apply_property_filter(config: TilerConfig):
     """-y/-x/-X semantics over a props entry list (property_filter.rs:19-72
     applied to TAGS here, not just field metadata)."""
@@ -2074,7 +2092,7 @@ def _finalize_sharded_distributed(entries_df: DataFrame,
     }
     meta = P.compress(
         P.metadata_json(config.layer_name, config.min_zoom, config.max_zoom,
-                        {}, tilestats),
+                        config.layer_fields or {}, tilestats),
         P.COMPRESSION_GZIP,
     )
     hdr = P.Header(
@@ -2326,7 +2344,7 @@ def convert_sharded(features: DataFrame, output_path: str,
     }
     meta = P.compress(
         P.metadata_json(config.layer_name, config.min_zoom, config.max_zoom,
-                        {}, tilestats),
+                        config.layer_fields or {}, tilestats),
         P.COMPRESSION_GZIP,
     )
     hdr = P.Header(
@@ -2474,6 +2492,7 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         layer_name=config.layer_name,
         min_zoom=config.min_zoom,
         max_zoom=config.max_zoom,
+        fields=config.layer_fields,
     )
     # fan-out phase progress: the fan-out executes lazily while the tile
     # stream below drains, so poll the accumulators from a driver thread

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..extract import FEATURES_SCHEMA
 from ..kernels import geom as G
@@ -65,7 +66,8 @@ class ScanMetrics:
 def read_geoparquet(spark: SparkSession, path: str,
                     geometry_col: str | None = None,
                     id_col: str | None = None,
-                    metrics: ScanMetrics | None = None) -> DataFrame:
+                    metrics: ScanMetrics | None = None,
+                    property_cols: list[str] | None = None) -> DataFrame:
     """GeoParquet (WKB geometry column) -> features DataFrame
     (FEATURES_SCHEMA). Column pruning reaches the scan: only the geometry
     and id columns are read.
@@ -74,12 +76,16 @@ def read_geoparquet(spark: SparkSession, path: str,
     batch_processor.rs:94-143); collections flatten to one feature per part
     (MVT features are single-typed). Undecodable rows are SKIPPED BUT
     COUNTED when a ``metrics`` (ScanMetrics.create(spark)) is passed —
-    never silently lost."""
+    never silently lost. ``property_cols`` additionally packs the named
+    parquet columns into a ``props`` column of (key, MVT-Value-bytes)
+    structs for the write_properties tile path; flattened
+    GeometryCollection parts all carry the source row's properties."""
     raw = spark.read.parquet(path)
     gcol = geometry_col or discover_geometry_column(raw.columns)
     if gcol is None:
         raise ValueError(f"no geometry column found in {raw.columns}")
-    cols = [gcol] + ([id_col] if id_col else [])
+    property_cols = list(property_cols or [])
+    cols = [gcol] + ([id_col] if id_col else []) + property_cols
     raw = raw.select(*cols)
     acc_skip = metrics.n_skipped if metrics else None
     acc_null = metrics.n_nulls if metrics else None
@@ -87,11 +93,29 @@ def read_geoparquet(spark: SparkSession, path: str,
 
     def to_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.hashes import fmix64, xxh64
+        from ..kernels.mvt import encode_value
+
+        def pack_props(pdf, i):
+            row = []
+            for c in property_cols:
+                v = pdf[c].iloc[i]
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    continue
+                if isinstance(v, np.integer):
+                    v = int(v)
+                elif isinstance(v, np.floating):
+                    v = float(v)
+                elif isinstance(v, np.bool_):
+                    v = bool(v)
+                row.append({"key": c, "val": encode_value(v)})
+            return row
 
         for pdf in batches:
             out = {k: [] for k in (
                 "feature_id", "doc_id", "span_offset", "wkb", "geom_type",
                 "lng_min", "lat_min", "lng_max", "lat_max")}
+            if property_cols:
+                out["props"] = []
             for i, wkb in enumerate(pdf[gcol]):
                 if wkb is None:
                     if acc_null is not None:
@@ -140,9 +164,18 @@ def read_geoparquet(spark: SparkSession, path: str,
                     out["lat_min"].append(y0)
                     out["lng_max"].append(x1)
                     out["lat_max"].append(y1)
+                    if property_cols:
+                        out["props"].append(pack_props(pdf, i))
             yield pd.DataFrame(out)
 
-    return raw.mapInPandas(to_features, schema=FEATURES_SCHEMA)
+    schema = FEATURES_SCHEMA
+    if property_cols:
+        from ..pipeline import PROPS_FIELD_SCHEMA
+
+        schema = StructType(
+            FEATURES_SCHEMA.fields + [StructField("props", PROPS_FIELD_SCHEMA)]
+        )
+    return raw.mapInPandas(to_features, schema=schema)
 
 
 def write_geoparquet(features: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -32,6 +32,12 @@ def main() -> None:
     p.add_argument("--geoparquet", action="store_true")
     p.add_argument("--work-dir", default=None, help="enable checkpoint/resume")
     p.add_argument("--feature-id-mode", default="hash", choices=["hash", "rownum"])
+    p.add_argument("--write-properties", action="store_true",
+                   help="serialize properties into MVT tags (with "
+                        "--geoparquet, pick columns via --property-col)")
+    p.add_argument("--property-col", action="append", default=[],
+                   help="parquet column to carry as a tile property "
+                        "(repeatable; implies --write-properties)")
     p.add_argument("--max-tile-bytes", type=int, default=None,
                    help="per-tile byte budget: oversized tiles are "
                         "deterministically thinned (tippecanoe's default "
@@ -50,6 +56,7 @@ def main() -> None:
         min_zoom=args.min_zoom, max_zoom=args.max_zoom,
         layer_name=args.layer_name, tile_compression=args.compression,
         max_tile_bytes=args.max_tile_bytes,
+        write_properties=args.write_properties or bool(args.property_col),
     ).validate()
 
     if args.work_dir:
@@ -66,12 +73,24 @@ def main() -> None:
         q = assess_quality(args.input)
         for w in q.warnings:
             print(f"warning: {w}")
-        feats = read_geoparquet(spark, args.input)
+        feats = read_geoparquet(spark, args.input,
+                                property_cols=args.property_col or None)
+        if args.property_col:
+            from gpq_tiles_spark.pipeline import props_field_metadata
+
+            cfg.layer_fields = props_field_metadata(
+                spark.read.parquet(args.input), args.property_col)
     else:
         from gpq_tiles_spark.extract import extract_features
 
         feats = extract_features(spark.read.parquet(args.input),
                                  feature_id_mode=args.feature_id_mode)
+        if cfg.write_properties and "props" not in feats.columns:
+            raise SystemExit(
+                "--write-properties on the interleaved-document input needs "
+                "a props column; use --geoparquet with --property-col, or "
+                "build props via gpq_tiles_spark.pipeline.encode_props_column"
+            )
 
     if args.sharded:
         from gpq_tiles_spark.pipeline import convert_sharded

@@ -117,6 +117,59 @@ def test_props_requires_column_and_rejects_salted(spark, prop_features, tmp_path
         convert(prop_features, str(tmp_path / "y.pmtiles"), cfg, salted=True)
 
 
+def test_geoparquet_properties_end_to_end(spark, tmp_path):
+    """GeoParquet property columns -> props -> tiles with tags + fields
+    metadata, through read_geoparquet(property_cols=...) and
+    props_field_metadata — the full user story the reference's CLI stubs
+    out."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpq_tiles_spark.pipeline import props_field_metadata
+    from gpq_tiles_spark.sources.geoparquet import read_geoparquet
+
+    rows = []
+    for i in range(5):
+        cx = -30.0 + i * 5.0
+        ring = np.array([
+            [cx, 10.0], [cx + 2.0, 10.0], [cx + 2.0, 12.0],
+            [cx, 12.0], [cx, 10.0],
+        ])
+        rows.append((i, G.to_wkb((G.POLYGON, [ring])), f"city-{i}",
+                     float(100 + i), i % 2 == 1))
+    src = str(tmp_path / "gp.parquet")
+    pq.write_table(pa.table({
+        "fid": pa.array([r[0] for r in rows], pa.int64()),
+        "geometry": pa.array([r[1] for r in rows], pa.binary()),
+        "city": pa.array([r[2] for r in rows], pa.string()),
+        "pop": pa.array([r[3] for r in rows], pa.float64()),
+        "coastal": pa.array([r[4] for r in rows], pa.bool_()),
+    }), src)
+
+    feats = read_geoparquet(spark, src, id_col="fid",
+                            property_cols=["city", "pop", "coastal"])
+    fields = props_field_metadata(spark.read.parquet(src),
+                                  ["city", "pop", "coastal"])
+    assert fields == {"city": "String", "pop": "Number", "coastal": "Boolean"}
+    out = str(tmp_path / "gp.pmtiles")
+    cfg = TilerConfig(min_zoom=2, max_zoom=3, shuffle_partitions=4,
+                      write_properties=True, layer_fields=fields)
+    convert(feats, out, cfg)
+    r = PMTilesReader(out)
+    assert r.metadata["vector_layers"][0]["fields"] == fields
+    by_city = {}
+    for tid in r.tile_ids():
+        lay = decode_tile(r.get_tile_bytes(tid))[0]
+        for f in lay["features"]:
+            p = feature_properties(f, lay["keys"], lay["values"])
+            by_city[p["city"]] = p
+    assert set(by_city) == {f"city-{i}" for i in range(5)}
+    for i in range(5):
+        p = by_city[f"city-{i}"]
+        assert math.isclose(p["pop"], 100.0 + i)
+        assert p["coastal"] is (i % 2 == 1)
+
+
 def test_default_path_unchanged_with_props_column(spark, prop_features, tmp_path):
     """write_properties=False ignores the props column entirely — bytes
     equal a convert over the same features without it."""
