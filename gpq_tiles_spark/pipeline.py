@@ -1562,46 +1562,38 @@ def make_props_encoder(config: TilerConfig,
     acc_tiles = metrics.tiles_out if metrics else None
 
     def encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .kernels import gridclip as GC
-        from .kernels.mvt import (
-            encode_feature,
-            encode_geometry,
-            encode_layer,
-            encode_tile,
-        )
         from .kernels.hashes import content_hash64
+        from .kernels.mvt import _len_delim, _packed_u32, _tag, _varint
 
         tid = pdf["tile_id"].to_numpy(dtype=np.int64)
+        fid = pdf["feature_id"].to_numpy(dtype=np.int64)
+        # geometry messages come from the SAME vectorized kernel as the
+        # propertyless production path (incl. the canonical buffered-rect
+        # for empty-wkb fully-inside markers); tags are spliced in after
+        # the id field below, so per-feature Python never touches geometry
+        msgs = mvt_fast.encode_record_msgs(
+            tid, fid, pdf["wkb"].to_numpy(), extent, buffer_px)
         starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
         ends = np.append(starts[1:], len(tid))
         g_z, g_x, g_y = H.tile_id_to_zxy_vec(tid[starts])
-        lng0a, lat0a, lng1a, lat1a = T.tile_bounds_mixed(g_x, g_y, g_z)
+        head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
+        tail = b"\x28" + _varint(extent) + b"\x78\x02"
+        props_col = pdf["props"]
         rows = {k: [] for k in ("tile_id", "z", "x", "y", "n_features",
                                 "mvt", "content_hash")}
         for gi, (s, e) in enumerate(zip(starts, ends)):
-            lng0, lat0 = float(lng0a[gi]), float(lat0a[gi])
-            lng1, lat1 = float(lng1a[gi]), float(lat1a[gi])
             keys: list[str] = []
             key_idx: dict[str, int] = {}
             vals: list[bytes] = []
             val_idx: dict[bytes, int] = {}
-            msgs: list[bytes] = []
+            parts: list[bytes] = []
             n_feat = 0
             for i in range(s, e):
-                wkb = bytes(pdf["wkb"].iloc[i])
-                if len(wkb) == 0:
-                    # fully-inside marker: canonical buffered-rect polygon
-                    # (same construction as the fast path's
-                    # _canonical_rect_msg_tail)
-                    buf = (lng1 - lng0) * buffer_px / extent
-                    wkb = GC.rect_wkb(lng0 - buf, lat0 - buf,
-                                      lng1 + buf, lat1 + buf)
-                g = G.from_wkb(wkb)
-                cmds, gtype = encode_geometry(g, lng0, lat0, lng1, lat1, extent)
-                if not cmds:
+                m = msgs[i]
+                if not m:  # dead record (nothing encodable)
                     continue
                 tags: list[int] = []
-                items = pdf["props"].iloc[i]
+                items = props_col.iloc[i]
                 if items is not None:
                     for it in prop_filter(list(items)):
                         k = it["key"]
@@ -1615,12 +1607,28 @@ def make_props_encoder(config: TilerConfig,
                             vi = val_idx[vb] = len(vals)
                             vals.append(vb)
                         tags.extend((ki, vi))
-                msgs.append(encode_feature(int(pdf["feature_id"].iloc[i]),
-                                           tags, gtype, cmds))
+                if tags:
+                    # splice the packed tags field (2) right after the id
+                    # field (1) so bytes equal encode_feature's field order
+                    j = 1  # skip frame byte 0x12
+                    while m[j] & 0x80:
+                        j += 1
+                    j += 1  # frame length varint consumed; body starts here
+                    body = m[j:]
+                    idlen = 1 + max((int(fid[i]).bit_length() + 6) // 7, 1)
+                    tb = _packed_u32(2, tags)
+                    new_body = body[:idlen] + tb + body[idlen:]
+                    parts.append(b"\x12" + _varint(len(new_body)) + new_body)
+                else:
+                    parts.append(m)
                 n_feat += 1
-            if not msgs:
+            if not parts:
                 continue
-            mvt = encode_tile([encode_layer(layer_name, msgs, keys, vals, extent)])
+            layer = (head + b"".join(parts)
+                     + b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
+                     + b"".join(_len_delim(4, v) for v in vals)
+                     + tail)
+            mvt = b"\x1a" + _varint(len(layer)) + layer
             rows["tile_id"].append(int(tid[s]))
             rows["z"].append(int(g_z[gi]))
             rows["x"].append(int(g_x[gi]))
