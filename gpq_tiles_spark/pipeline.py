@@ -1477,6 +1477,49 @@ PROPS_FIELD_SCHEMA = ArrayType(
     )
 )
 
+# Spark simpleString dtype -> stable MVT value kind. Driving the conversion
+# from the SCHEMA (not the pandas cell dtype) keeps encoding deterministic:
+# a nullable bigint column arrives as float64 in any Arrow batch containing
+# a null, and without this a value would encode as int in one batch and
+# double in another (different Value bytes for the same logical value).
+def _mvt_kind(spark_type: str) -> str:
+    if spark_type == "boolean":
+        return "bool"
+    if spark_type in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if spark_type in ("float", "double") or spark_type.startswith("decimal"):
+        return "float"
+    return "str"
+
+
+def prop_kinds(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return {c: _mvt_kind(by_name.get(c, "string")) for c in cols}
+
+
+def pack_prop_row(values_by_col, kinds: dict[str, str]) -> list[dict]:
+    """One feature's (col -> raw value) dict -> props entries with
+    pre-encoded MVT Value bytes. NULL/NaN omitted (MVT has no null kind);
+    numeric kinds coerced per the SCHEMA so batch-dependent pandas dtype
+    promotion (and decimal.Decimal) cannot change the wire bytes."""
+    from .kernels.mvt import encode_value
+
+    row = []
+    for c, kind in kinds.items():
+        v = values_by_col.get(c)
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        if kind == "int":
+            v = int(v)
+        elif kind == "float":
+            v = float(v)
+        elif kind == "bool":
+            v = bool(v)
+        else:
+            v = str(v)
+        row.append({"key": c, "val": encode_value(v)})
+    return row
+
 
 def encode_props_column(df: DataFrame, cols: list[str],
                         out_col: str = "props") -> DataFrame:
@@ -1484,29 +1527,17 @@ def encode_props_column(df: DataFrame, cols: list[str],
     structs — values pre-encoded as MVT ``Tile.Value`` messages
     (kernels.mvt.encode_value) so downstream tile encoding only interns
     bytes. NULLs are omitted per feature (MVT has no null value kind)."""
-    from .kernels.mvt import encode_value
-
+    kinds = prop_kinds(df, cols)
     schema = StructType(
         [f for f in df.schema.fields] + [StructField(out_col, PROPS_FIELD_SCHEMA)]
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i in range(len(pdf)):
-                row = []
-                for c in cols:
-                    v = pdf[c].iloc[i]
-                    if v is None or (isinstance(v, float) and np.isnan(v)):
-                        continue
-                    if isinstance(v, np.integer):
-                        v = int(v)
-                    elif isinstance(v, np.floating):
-                        v = float(v)
-                    elif isinstance(v, np.bool_):
-                        v = bool(v)
-                    row.append({"key": c, "val": encode_value(v)})
-                out.append(row)
+            out = [
+                pack_prop_row({c: pdf[c].iloc[i] for c in cols}, kinds)
+                for i in range(len(pdf))
+            ]
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf
@@ -1514,22 +1545,17 @@ def encode_props_column(df: DataFrame, cols: list[str],
     return df.mapInPandas(pack, schema=schema)
 
 
+_FIELD_TYPE_BY_KIND = {"bool": "Boolean", "int": "Number",
+                       "float": "Number", "str": "String"}
+
+
 def props_field_metadata(df: DataFrame, cols: list[str]) -> dict[str, str]:
     """Spark dtype -> MVT field-type map for the archive metadata JSON
-    (String/Number/Boolean — the same mapping as the S5 GeoParquet
-    field_metadata, batch_processor.rs:424-467)."""
-    out = {}
-    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for c in cols:
-        t = by_name.get(c, "string")
-        if t == "boolean":
-            out[c] = "Boolean"
-        elif t in ("tinyint", "smallint", "int", "bigint", "float",
-                   "double") or t.startswith("decimal"):
-            out[c] = "Number"
-        else:
-            out[c] = "String"
-    return out
+    (String/Number/Boolean — same classes as the S5 GeoParquet Arrow-side
+    field_metadata, batch_processor.rs:424-467); derived from the same
+    _mvt_kind map that drives value encoding, so metadata and wire kinds
+    can never disagree."""
+    return {c: _FIELD_TYPE_BY_KIND[k] for c, k in prop_kinds(df, cols).items()}
 
 
 def _apply_property_filter(config: TilerConfig):
@@ -1579,6 +1605,7 @@ def make_props_encoder(config: TilerConfig,
         head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
         tail = b"\x28" + _varint(extent) + b"\x78\x02"
         props_col = pdf["props"]
+        max_tile_bytes = config.max_tile_bytes
         rows = {k: [] for k in ("tile_id", "z", "x", "y", "n_features",
                                 "mvt", "content_hash")}
         for gi, (s, e) in enumerate(zip(starts, ends)):
@@ -1587,10 +1614,12 @@ def make_props_encoder(config: TilerConfig,
             vals: list[bytes] = []
             val_idx: dict[bytes, int] = {}
             parts: list[bytes] = []
-            n_feat = 0
+            part_fids: list[int] = []
             for i in range(s, e):
                 m = msgs[i]
-                if not m:  # dead record (nothing encodable)
+                if not m:  # dead record: 0 bytes, still counted (parity
+                    parts.append(b"")  # with encode_sorted_runs)
+                    part_fids.append(int(fid[i]))
                     continue
                 tags: list[int] = []
                 items = props_col.iloc[i]
@@ -1615,15 +1644,33 @@ def make_props_encoder(config: TilerConfig,
                         j += 1
                     j += 1  # frame length varint consumed; body starts here
                     body = m[j:]
-                    idlen = 1 + max((int(fid[i]).bit_length() + 6) // 7, 1)
+                    # id varint length from the UNSIGNED 64-bit value the
+                    # kernel wrote (a negative fid encodes as 10 bytes;
+                    # int.bit_length() on the signed value would mis-place
+                    # the splice and corrupt the message)
+                    u = int(fid[i]) & 0xFFFF_FFFF_FFFF_FFFF
+                    idlen = 1 + max((u.bit_length() + 6) // 7, 1)
                     tb = _packed_u32(2, tags)
                     new_body = body[:idlen] + tb + body[idlen:]
                     parts.append(b"\x12" + _varint(len(new_body)) + new_body)
                 else:
                     parts.append(m)
-                n_feat += 1
-            if not parts:
-                continue
+                part_fids.append(int(fid[i]))
+            n_feat = len(parts)
+            if max_tile_bytes is not None:
+                flens = np.fromiter((len(p) for p in parts), dtype=np.int64,
+                                    count=len(parts))
+                if int(flens.sum()) > max_tile_bytes:
+                    from .kernels.drop import tile_budget_keep_mask
+
+                    mask = tile_budget_keep_mask(
+                        np.asarray(part_fids, dtype=np.int64), flens,
+                        int(tid[s]), max_tile_bytes)
+                    parts = [p for p, k in zip(parts, mask) if k]
+                    if metrics is not None:
+                        metrics.tiles_capped.add(1)
+                        metrics.records_capped.add(int(n_feat - mask.sum()))
+                    n_feat = int(mask.sum())
             layer = (head + b"".join(parts)
                      + b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
                      + b"".join(_len_delim(4, v) for v in vals)
@@ -1641,21 +1688,33 @@ def make_props_encoder(config: TilerConfig,
         return pd.DataFrame(rows)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend: pd.DataFrame | None = None
+        # LIST-of-frames carry (same rationale as make_wrap_encoder): a
+        # mega-tile run spanning many Arrow batches must not pay one
+        # quadratically-growing pd.concat per batch
+        pend: list[pd.DataFrame] = []
+        pend_last = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if pend is not None:
-                pdf = pd.concat([pend, pdf], ignore_index=True)
-                pend = None
             tids = pdf["tile_id"].to_numpy()
+            if pend and tids[0] != pend_last:
+                yield encode_chunk(pd.concat(pend, ignore_index=True)
+                                   if len(pend) > 1 else pend[0])
+                pend = []
             cut = int(np.searchsorted(tids, tids[-1], side="left"))
-            pend = pdf.iloc[cut:]
             body = pdf.iloc[:cut]
             if len(body):
-                yield encode_chunk(body)
-        if pend is not None and len(pend):
-            yield encode_chunk(pend)
+                if pend:
+                    pend.append(body)
+                    yield encode_chunk(pd.concat(pend, ignore_index=True))
+                    pend = []
+                else:
+                    yield encode_chunk(body)
+            pend.append(pdf.iloc[cut:])
+            pend_last = tids[-1]
+        if pend:
+            yield encode_chunk(pd.concat(pend, ignore_index=True)
+                               if len(pend) > 1 else pend[0])
 
     return encode
 
@@ -1672,8 +1731,13 @@ def encode_tiles_with_props(records: DataFrame, props: DataFrame,
     tables and shuffle-joins big ones (AQE decides at runtime). The tile
     shuffle and run-carry grouping mirror encode_tiles."""
     parts = num_partitions or config.shuffle_partitions
+    # one props row per feature_id: duplicate ids (hash-collided or
+    # duplicated source ids) must not MULTIPLY fan-out records through the
+    # join — first row wins, matching the propertyless path's one-encode-
+    # per-record guarantee
     joined = records.join(
-        props.select("feature_id", "props"), "feature_id", "left"
+        props.select("feature_id", "props").dropDuplicates(["feature_id"]),
+        "feature_id", "left",
     )
     if by_range:
         shuffled = (
@@ -2305,6 +2369,11 @@ def convert_sharded(features: DataFrame, output_path: str,
     # legacy collect-everything finalize (differential oracle): range
     # partitioning + DISK_ONLY persist (the disk store streams the
     # iterator; a memory-store block must fully unroll on-heap first)
+    if config.write_properties:
+        raise ValueError(
+            "convert_sharded: write_properties is not supported on the "
+            "legacy (distributed_directory=False) finalize"
+        )
     records = fanout_records(features, config).persist(StorageLevel.DISK_ONLY)
     if salted:
         hot = detect_hot_tiles(features, config)

@@ -91,24 +91,17 @@ def read_geoparquet(spark: SparkSession, path: str,
     acc_null = metrics.n_nulls if metrics else None
     acc_coll = metrics.n_collections if metrics else None
 
+    # schema-driven value kinds, shared with the pipeline's
+    # encode_props_column (one normalization/encode path to maintain, and
+    # nullable-int batches can't flip a value's wire kind)
+    if property_cols:
+        from ..pipeline import prop_kinds
+
+        kinds = prop_kinds(raw, property_cols)
+
     def to_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.hashes import fmix64, xxh64
-        from ..kernels.mvt import encode_value
-
-        def pack_props(pdf, i):
-            row = []
-            for c in property_cols:
-                v = pdf[c].iloc[i]
-                if v is None or (isinstance(v, float) and np.isnan(v)):
-                    continue
-                if isinstance(v, np.integer):
-                    v = int(v)
-                elif isinstance(v, np.floating):
-                    v = float(v)
-                elif isinstance(v, np.bool_):
-                    v = bool(v)
-                row.append({"key": c, "val": encode_value(v)})
-            return row
+        from ..pipeline import pack_prop_row
 
         for pdf in batches:
             out = {k: [] for k in (
@@ -128,6 +121,11 @@ def read_geoparquet(spark: SparkSession, path: str,
                     if acc_skip is not None:
                         acc_skip.add(1)
                     continue
+                if property_cols:
+                    # packed once per source row; flattened collection
+                    # parts share it
+                    row_props = pack_prop_row(
+                        {c: pdf[c].iloc[i] for c in property_cols}, kinds)
                 parts = G.flatten(g)
                 if g[0] == G.GEOMETRYCOLLECTION and acc_coll is not None:
                     acc_coll.add(1)
@@ -165,7 +163,7 @@ def read_geoparquet(spark: SparkSession, path: str,
                     out["lng_max"].append(x1)
                     out["lat_max"].append(y1)
                     if property_cols:
-                        out["props"].append(pack_props(pdf, i))
+                        out["props"].append(row_props)
             yield pd.DataFrame(out)
 
     schema = FEATURES_SCHEMA

@@ -229,6 +229,98 @@ def test_props_splice_matches_scalar_encode(spark, prop_features, tmp_path):
     assert checked >= 1 and len(lay["features"]) >= 2  # shared dictionaries
 
 
+def test_props_max_tile_bytes_applies(spark, prop_features, tmp_path):
+    """The per-tile byte budget caps property tiles too (review fix)."""
+    cfg = TilerConfig(min_zoom=0, max_zoom=2, shuffle_partitions=4,
+                      write_properties=True, max_tile_bytes=64)
+    out = str(tmp_path / "capped.pmtiles")
+    stats = convert(prop_features, out, cfg)
+    assert stats["metrics"]["tiles_capped"] >= 1
+    r = PMTilesReader(out)
+    for tid in r.tile_ids():
+        lay = decode_tile(r.get_tile_bytes(tid))[0]
+        assert len(lay["features"]) >= 1  # capped, never emptied
+
+
+def test_props_negative_feature_id_splice(spark, tmp_path):
+    """A negative feature_id encodes as a 10-byte varint; the tag splice
+    must respect that (review fix: the signed bit_length mis-placed it)."""
+    ring = np.array([[10.0, 40.0], [11.0, 40.0], [11.0, 41.0],
+                     [10.0, 41.0], [10.0, 40.0]])
+    df = spark.createDataFrame(
+        [(-7, "x", 0, bytearray(G.to_wkb((G.POLYGON, [ring]))), G.POLYGON,
+          10.0, 40.0, 11.0, 41.0, "neg")],
+        "feature_id long, doc_id string, span_offset int, wkb binary, "
+        "geom_type int, lng_min double, lat_min double, lng_max double, "
+        "lat_max double, name string",
+    )
+    feats = encode_props_column(df, ["name"])
+    out = str(tmp_path / "neg.pmtiles")
+    convert(feats, out, TilerConfig(min_zoom=2, max_zoom=2,
+                                    shuffle_partitions=2,
+                                    write_properties=True))
+    r = PMTilesReader(out)
+    lay = decode_tile(r.get_tile_bytes(r.tile_ids()[0]))[0]
+    f = lay["features"][0]
+    assert f["id"] == (-7) & 0xFFFF_FFFF_FFFF_FFFF
+    p = feature_properties(f, lay["keys"], lay["values"])
+    assert p == {"name": "neg"}
+
+
+def test_props_nullable_int_kind_stable(spark, tmp_path):
+    """Schema-driven kinds: a bigint column with a null row still encodes
+    non-null values as MVT ints, not doubles (review fix — pandas promotes
+    the batch to float64)."""
+    from gpq_tiles_spark.pipeline import encode_props_column as epc
+
+    ring = np.array([[10.0, 40.0], [11.0, 40.0], [11.0, 41.0],
+                     [10.0, 41.0], [10.0, 40.0]])
+    rows = [
+        (0, "a", 0, bytearray(G.to_wkb((G.POLYGON, [ring]))), G.POLYGON,
+         10.0, 40.0, 11.0, 41.0, 7),
+        (1, "b", 0, bytearray(G.to_wkb((G.POLYGON, [ring]))), G.POLYGON,
+         10.0, 40.0, 11.0, 41.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "feature_id long, doc_id string, span_offset int, wkb binary, "
+        "geom_type int, lng_min double, lat_min double, lng_max double, "
+        "lat_max double, floors long",
+    )
+    packed = epc(df, ["floors"]).collect()
+    by_id = {r.feature_id: r.props for r in packed}
+    assert by_id[1] == []  # null omitted
+    [entry] = by_id[0]
+    # int64 Value message: field 4 (varint), not field 3 (double)
+    assert bytes(entry["val"])[0] >> 3 == 4
+
+
+def test_props_duplicate_feature_id_join_no_multiplication(spark, tmp_path):
+    """Duplicate feature_ids in the props table must not multiply fan-out
+    records through the join (review fix)."""
+    ring = np.array([[10.0, 40.0], [11.0, 40.0], [11.0, 41.0],
+                     [10.0, 41.0], [10.0, 40.0]])
+    base = [(5, "a", 0, bytearray(G.to_wkb((G.POLYGON, [ring]))), G.POLYGON,
+             10.0, 40.0, 11.0, 41.0, "first"),
+            (5, "a", 0, bytearray(G.to_wkb((G.POLYGON, [ring]))), G.POLYGON,
+             10.0, 40.0, 11.0, 41.0, "second")]
+    df = spark.createDataFrame(
+        base,
+        "feature_id long, doc_id string, span_offset int, wkb binary, "
+        "geom_type int, lng_min double, lat_min double, lng_max double, "
+        "lat_max double, name string",
+    )
+    feats = encode_props_column(df, ["name"])
+    out = str(tmp_path / "dup.pmtiles")
+    convert(feats, out, TilerConfig(min_zoom=2, max_zoom=2,
+                                    shuffle_partitions=2,
+                                    write_properties=True))
+    lay = decode_tile(PMTilesReader(out).get_tile_bytes(
+        PMTilesReader(out).tile_ids()[0]))[0]
+    # 2 source records -> exactly 2 encoded features (not 4)
+    assert len(lay["features"]) == 2
+
+
 def test_default_path_unchanged_with_props_column(spark, prop_features, tmp_path):
     """write_properties=False ignores the props column entirely — bytes
     equal a convert over the same features without it."""
