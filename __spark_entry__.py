@@ -33,9 +33,23 @@ _TABLES = (
 ).split()
 
 
+_REGISTERED: dict[tuple[int, str], bool] = {}
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables as temp views, once per (session,
+    sf_dir): every query calls this, and re-running spark.read.parquet for
+    10 tables costs a schema-inference footer read each — pure overhead
+    when the views already point at the right directory."""
+    key = (id(spark), sf_dir)
+    if _REGISTERED.get(key):
+        return
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    # a different sf_dir on the same session must re-register
+    for k in [k for k in _REGISTERED if k[0] == id(spark)]:
+        del _REGISTERED[k]
+    _REGISTERED[key] = True
 
 
 # ---------------------------------------------------------------------------
