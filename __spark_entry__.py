@@ -42,7 +42,9 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
     10 tables costs a schema-inference footer read each — pure overhead
     when the views already point at the right directory."""
     key = (id(spark), sf_dir)
-    if _REGISTERED.get(key):
+    # id() can be reused by a NEW session after the old one is collected;
+    # the catalog probe catches that (views die with their session)
+    if _REGISTERED.get(key) and spark.catalog.tableExists(_TABLES[0]):
         return
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
