@@ -95,6 +95,51 @@ def test_multipolygon_roundtrip():
         assert got == _closed_px(want)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gpq_tiles_spark.kernels.mvt import decode_value, encode_value
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.booleans(),
+        st.integers(-(2**63), 2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=64),
+    )
+)
+def test_value_message_roundtrip(v):
+    """decode_value(encode_value(v)) == v for every encodable kind
+    (bool checked before int — Python bools ARE ints)."""
+    out = decode_value(encode_value(v))
+    assert type(out) is type(v) and out == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-9.9, max_value=9.9),
+            st.floats(min_value=-9.9, max_value=9.9),
+        ),
+        min_size=2, max_size=40,
+    )
+)
+def test_linestring_roundtrip_hypothesis(pts):
+    """Any linestring whose quantized form keeps >= 2 distinct points
+    round-trips through encode->decode to the quantized coordinates."""
+    ls = np.asarray(pts, dtype=np.float64)
+    out = _decode((LINESTRING, ls))
+    want = _px(ls)
+    assert out["type"] in ("LineString", "MultiLineString")
+    if out["type"] == "LineString":
+        # the encoder keeps every vertex (zero deltas included), so decode
+        # reproduces the quantized input exactly
+        assert out["coordinates"] == want
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_polygon_roundtrip_randomized(seed):
     """Random convex-ish polygons survive encode->decode bit-exactly."""
