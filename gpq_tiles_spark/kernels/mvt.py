@@ -532,13 +532,16 @@ def decode_geometry(feature: dict) -> dict:
                 rings.append(cur)
                 cur = None
         polys: list[list[list[tuple[int, int]]]] = []
-        ext_sign = 0.0
-        for ring in rings:
-            a2 = _ring_area2_px(ring)
-            if not polys or ext_sign == 0.0 or (a2 != 0 and (a2 > 0) == (ext_sign > 0)):
+        # the exterior sign comes from the FIRST ring with nonzero area:
+        # leading degenerate (zero-area) rings must not leave ext_sign
+        # unset, or every later ring — including true holes — would start
+        # a new polygon and misreport MultiPolygon structure (ADVICE r4)
+        areas = [_ring_area2_px(r) for r in rings]
+        ext_sign = next((a for a in areas if a != 0), 0.0)
+        for ring, a2 in zip(rings, areas):
+            if not polys or (a2 != 0 and ext_sign != 0.0
+                             and (a2 > 0) == (ext_sign > 0)):
                 polys.append([ring])
-                if a2 != 0:
-                    ext_sign = a2
             else:
                 polys[-1].append(ring)
         if len(polys) == 1:

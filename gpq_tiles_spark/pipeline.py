@@ -1507,7 +1507,12 @@ def pack_prop_row(values_by_col, kinds: dict[str, str]) -> list[dict]:
     row = []
     for c, kind in kinds.items():
         v = values_by_col.get(c)
-        if v is None or (isinstance(v, float) and np.isnan(v)):
+        # scalar-safe null check: pd.isna catches None/NaN AND pandas NaT /
+        # pd.NA (which would otherwise fall through the 'str' kind and
+        # encode the literal strings 'NaT'/'<NA>'; ADVICE r4). List-likes
+        # return an array from pd.isna — treat those as non-null values.
+        na = pd.isna(v)
+        if isinstance(na, (bool, np.bool_)) and na:
             continue
         if kind == "int":
             v = int(v)
@@ -1733,10 +1738,14 @@ def encode_tiles_with_props(records: DataFrame, props: DataFrame,
     parts = num_partitions or config.shuffle_partitions
     # one props row per feature_id: duplicate ids (hash-collided or
     # duplicated source ids) must not MULTIPLY fan-out records through the
-    # join — first row wins, matching the propertyless path's one-encode-
-    # per-record guarantee
+    # join. The winner is the ORDERING-MINIMUM props value (not
+    # dropDuplicates, whose survivor is partition-order dependent and
+    # would break run-to-run byte determinism; ADVICE r4) — arrays of
+    # structs of (string, binary) are orderable in Spark, so min() is a
+    # stable, partitioning-independent choice.
     joined = records.join(
-        props.select("feature_id", "props").dropDuplicates(["feature_id"]),
+        props.select("feature_id", "props")
+        .groupBy("feature_id").agg(F.min("props").alias("props")),
         "feature_id", "left",
     )
     if by_range:
