@@ -899,6 +899,73 @@ def _q_tile_records_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_tile_props_z8() -> str:
+    # T20 property serialization oracle: per-(tile, feature) decoded tag
+    # values must equal the source columns (DuckDB reconstructs both the
+    # z8 assignment and the property values from events directly)
+    return f"""
+        SELECT {tile_x_sql(EVENT_LNG, 8)} AS tx,
+               {tile_y_sql(EVENT_LAT, 8)} AS ty,
+               event_id AS feature_id,
+               'cat-' || CAST(event_id % 7 AS VARCHAR) AS category,
+               CAST(event_id % 100 AS BIGINT) AS magnitude
+        FROM events
+    """
+
+
+def _q_tile_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20/round-5 premerge-props oracle: run the FULL property tile
+    pipeline (encode_props_column -> premerge fan-out+encode -> shuffle ->
+    vectorized tag interning -> MVT bytes) at z8, then DECODE every tile's
+    tags back out (kernels.mvt decode side) and compare per-(tile,
+    feature) key/values against the DuckDB reconstruction. At base zoom
+    each point lands in exactly one tile and thinning keeps all, so the
+    decoded rows are exactly the source rows."""
+    import pandas as pd
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import (
+        encode_props_column,
+        encode_tiles_premerge_props,
+    )
+
+    _register(spark, sf_dir)
+    feats = _event_features(spark)
+    ev = spark.sql(
+        "SELECT event_id AS feature_id, "
+        "concat('cat-', CAST(event_id % 7 AS STRING)) AS category, "
+        "CAST(event_id % 100 AS BIGINT) AS magnitude FROM events"
+    )
+    featp = encode_props_column(feats.join(ev, "feature_id"),
+                                ["category", "magnitude"])
+    cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8,
+                      write_properties=True)
+    tiles = encode_tiles_premerge_props(featp, cfg)
+
+    def dec(batches):
+        from gpq_tiles_spark.kernels.mvt import decode_tile, feature_properties
+
+        for pdf in batches:
+            rows = {"tx": [], "ty": [], "feature_id": [],
+                    "category": [], "magnitude": []}
+            for r in pdf.itertuples(index=False):
+                lay = decode_tile(bytes(r.mvt))[0]
+                for f in lay["features"]:
+                    p = feature_properties(f, lay["keys"], lay["values"])
+                    rows["tx"].append(int(r.x))
+                    rows["ty"].append(int(r.y))
+                    rows["feature_id"].append(int(f["id"]))
+                    rows["category"].append(p["category"])
+                    rows["magnitude"].append(int(p["magnitude"]))
+            yield pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        dec,
+        schema="tx long, ty long, feature_id long, "
+               "category string, magnitude long",
+    )
+
+
 def _event_features(spark: SparkSession) -> DataFrame:
     """events -> features DataFrame (points) for pipeline-backed queries."""
     import pandas as pd
@@ -1011,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_neardup"] = _q_minhash_neardup
     out["tile_pipeline_z8"] = _q_tile_pipeline
     out["tile_records_z8"] = _q_tile_records_z8
+    out["tile_props_z8"] = _q_tile_props
     out["knn_distributed"] = _q_knn_distributed
     out["emb_neardup_pairs"] = _q_emb_neardup
     out["dedup_assignments"] = _q_dedup_assignments
@@ -1028,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         out[name] = duck_sql
     # engine-backed query whose result is provably the z8 assignment SQL
     out["tile_records_z8"] = _sql_tile_assign_z8()
+    out["tile_props_z8"] = _sql_tile_props_z8()
     out["minhash_neardup"] = _sql_minhash_recall()
     out["knn_distributed"] = _sql_knn_distributed()
     out["emb_neardup_pairs"] = _sql_emb_neardup("duckdb")

@@ -373,7 +373,12 @@ class PMTilesAssembler:
 
     def finalize(self, path: str) -> Header:
         entries = coalesce_run_lengths(self.entries)
-        root_dir = compress(encode_directory(entries), COMPRESSION_GZIP)
+        # past ROOT_MAX_ENTRIES the directory splits into spec leaf
+        # directories (run_length==0 root pointers into the leaf section)
+        # so the root stays ~spec-sized at any tile count; small archives
+        # keep the exact root-only bytes of previous rounds
+        root_raw, leaf_section, n_ent = build_directories(entries)
+        root_dir = compress(root_raw, COMPRESSION_GZIP)
         tilestats = {
             "total_features": self.total_features,
             "features_per_zoom": {str(k): v for k, v in sorted(self.features_per_zoom.items())},
@@ -383,15 +388,18 @@ class PMTilesAssembler:
                           self.fields, tilestats),
             COMPRESSION_GZIP,
         )
+        leaf_base = HEADER_SIZE + len(root_dir) + len(meta)
         hdr = Header(
             root_dir_offset=HEADER_SIZE,
             root_dir_length=len(root_dir),
             json_metadata_offset=HEADER_SIZE + len(root_dir),
             json_metadata_length=len(meta),
-            tile_data_offset=HEADER_SIZE + len(root_dir) + len(meta),
+            leaf_dirs_offset=leaf_base if leaf_section else 0,
+            leaf_dirs_length=len(leaf_section),
+            tile_data_offset=leaf_base + len(leaf_section),
             tile_data_length=self._data_len,
             addressed_tiles_count=self.addressed,
-            tile_entries_count=len(entries),
+            tile_entries_count=n_ent,
             tile_contents_count=self._n_blobs,
             clustered=True,
             internal_compression=COMPRESSION_GZIP,
@@ -408,6 +416,8 @@ class PMTilesAssembler:
             f.write(hdr.to_bytes())
             f.write(root_dir)
             f.write(meta)
+            if leaf_section:
+                f.write(leaf_section)
             self._tmp.seek(0)
             import shutil
 
@@ -532,6 +542,208 @@ def _find_entry(entries: list[DirEntry], tid: int) -> DirEntry | None:
     if e.tile_id <= tid < e.tile_id + e.run_length:
         return e
     return None
+
+
+# ---------------------------------------------------------------------------
+# Leaf directories (round-5: root stays ~spec-sized at any tile count)
+# ---------------------------------------------------------------------------
+
+# A root-only directory is kept while it stays small (PMTiles v3 guidance:
+# the root should be fetchable in one ~16 KB request). Above
+# ROOT_MAX_ENTRIES coalesced entries the writer spills fixed-size entry
+# chunks to the leaf section and the root holds one run_length==0 pointer
+# per leaf (spec two-level layout; the reference writer is root-only,
+# pmtiles_writer.rs:1028-1143 — this exceeds it for the 10^8-tile case
+# where a root-only directory would be hundreds of MB).
+ROOT_MAX_ENTRIES = 4096
+LEAF_MIN_ENTRIES = 4096
+
+
+def plan_leaf_size(n_entries: int) -> int:
+    """Entries per leaf for a directory of ``n_entries`` coalesced tile
+    entries; 0 means root-only. Deterministic in n_entries alone, so the
+    single-writer and distributed finalize paths split identically and
+    stay byte-identical. Leaf count (= root entries) never exceeds
+    ~ROOT_MAX_ENTRIES."""
+    if n_entries <= ROOT_MAX_ENTRIES:
+        return 0
+    return max(LEAF_MIN_ENTRIES, -(-n_entries // ROOT_MAX_ENTRIES))
+
+
+def encode_leaf(tid, off, length, run) -> bytes:
+    """One leaf directory's uncompressed bytes (vectorized): a standalone
+    directory — count prefix, tile_id deltas from 0, absolute data-section
+    offsets. Byte-identical to encode_directory over the same entries."""
+    head = bytearray()
+    encode_varint(len(tid), head)
+    t, r, ln, o = encode_dir_columns(tid, off, length, run,
+                                     prev_tid=0, prev_expected=0,
+                                     first_global=True)
+    return bytes(head) + t + r + ln + o
+
+
+class DirectoryBuilder:
+    """Streaming directory writer fed coalesced entries in tile order.
+
+    Callers declare the exact total coalesced entry count up front (it
+    fixes the root-vs-leaf mode and the leaf split), then ``add`` numpy
+    entry arrays — each internally run-coalesced and globally ordered.
+    Runs that continue across ``add`` calls are merged here (the last
+    entry is held back until the next call or ``finish``).
+
+    Root mode reproduces ``encode_directory`` byte-for-byte via the same
+    vectorized column kernel the round-3 chunk scheme used. Leaf mode
+    buffers at most one leaf of entries: each full leaf is varint-encoded,
+    compressed, and appended to ``spill`` (any .write()-able) or an
+    in-memory buffer, and the root keeps ONE run_length==0 pointer per
+    leaf — driver state is O(#leaves), not O(tiles).
+    """
+
+    def __init__(self, n_entries: int,
+                 internal_compression: int = COMPRESSION_GZIP,
+                 spill=None):
+        self.n_declared = int(n_entries)
+        self.leaf_size = plan_leaf_size(self.n_declared)
+        self.codec = internal_compression
+        self._held: tuple[int, int, int, int] | None = None
+        self.n_written = 0
+        if self.leaf_size == 0:
+            self._cols = [bytearray(), bytearray(), bytearray(), bytearray()]
+            self._prev_tid = 0
+            self._prev_exp = 0
+            self._first = True
+        else:
+            self._pend: list[tuple] = []
+            self._pend_n = 0
+            self._own_spill = spill is None
+            self._spill = spill if spill is not None else _BytesSink()
+            self._leaf_off = 0
+            self.root_entries: list[DirEntry] = []
+
+    def add(self, tid, off, length, run) -> None:
+        tid = np.asarray(tid, dtype=np.int64)
+        off = np.asarray(off, dtype=np.int64)
+        length = np.asarray(length, dtype=np.int64)
+        run = np.asarray(run, dtype=np.int64)
+        if len(tid) == 0:
+            return
+        if self._held is not None:
+            h = self._held
+            self._held = None
+            if (int(off[0]) == h[1] and int(length[0]) == h[2]
+                    and int(tid[0]) == h[0] + h[3]):
+                # cross-call run merge: extend the held run downward
+                tid = tid.copy()
+                run = run.copy()
+                tid[0] = h[0]
+                run[0] += h[3]
+            else:
+                self._emit(np.array([h[0]]), np.array([h[1]]),
+                           np.array([h[2]]), np.array([h[3]]))
+        if len(tid) > 1:
+            self._emit(tid[:-1], off[:-1], length[:-1], run[:-1])
+        self._held = (int(tid[-1]), int(off[-1]), int(length[-1]),
+                      int(run[-1]))
+
+    def _emit(self, tid, off, length, run) -> None:
+        self.n_written += len(tid)
+        if self.leaf_size == 0:
+            t, r, ln, o = encode_dir_columns(
+                tid, off, length, run,
+                prev_tid=self._prev_tid, prev_expected=self._prev_exp,
+                first_global=self._first)
+            self._first = False
+            self._cols[0] += t
+            self._cols[1] += r
+            self._cols[2] += ln
+            self._cols[3] += o
+            self._prev_tid = int(tid[-1])
+            self._prev_exp = int(off[-1] + length[-1])
+            return
+        self._pend.append((tid, off, length, run))
+        self._pend_n += len(tid)
+        while self._pend_n >= self.leaf_size:
+            self._flush_leaf(self.leaf_size)
+
+    def _flush_leaf(self, take: int) -> None:
+        tid, off, length, run = (
+            np.concatenate([p[i] for p in self._pend]) for i in range(4)
+        )
+        blob = compress(
+            encode_leaf(tid[:take], off[:take], length[:take], run[:take]),
+            self.codec)
+        self.root_entries.append(
+            DirEntry(int(tid[0]), self._leaf_off, len(blob), 0))
+        self._spill.write(blob)
+        self._leaf_off += len(blob)
+        if take < len(tid):
+            self._pend = [(tid[take:], off[take:], length[take:], run[take:])]
+            self._pend_n = len(tid) - take
+        else:
+            self._pend = []
+            self._pend_n = 0
+
+    @property
+    def leaf_length(self) -> int:
+        """Total compressed leaf-section bytes written so far (0 in root
+        mode)."""
+        return self._leaf_off if self.leaf_size else 0
+
+    def finish(self) -> tuple[bytes, bytes | None, int]:
+        """-> (root bytes UNCOMPRESSED, leaf section bytes, entry count).
+        Leaf section is b"" in root mode; None when leaves went to a
+        caller-provided spill (read them back from there)."""
+        if self._held is not None:
+            h = self._held
+            self._held = None
+            self._emit(np.array([h[0]]), np.array([h[1]]),
+                       np.array([h[2]]), np.array([h[3]]))
+        if self.n_written != self.n_declared:
+            raise ValueError(
+                f"DirectoryBuilder: declared {self.n_declared} coalesced "
+                f"entries but received {self.n_written} — the leaf split "
+                "would diverge between finalize paths")
+        if self.leaf_size == 0:
+            head = bytearray()
+            encode_varint(self.n_written, head)
+            return (bytes(head) + bytes(self._cols[0]) + bytes(self._cols[1])
+                    + bytes(self._cols[2]) + bytes(self._cols[3]),
+                    b"", self.n_written)
+        if self._pend_n:
+            self._flush_leaf(self._pend_n)
+        root = encode_directory(self.root_entries)
+        leaf_section = self._spill.getvalue() if self._own_spill else None
+        return root, leaf_section, self.n_written
+
+
+class _BytesSink:
+    def __init__(self):
+        self._buf = bytearray()
+
+    def write(self, b: bytes) -> None:
+        self._buf += b
+
+    def getvalue(self) -> bytes:
+        return bytes(self._buf)
+
+
+def build_directories(entries: list[DirEntry],
+                      internal_compression: int = COMPRESSION_GZIP,
+                      ) -> tuple[bytes, bytes, int]:
+    """Coalesced entry list -> (root bytes uncompressed, leaf section
+    bytes, tile entry count). Root-only under ROOT_MAX_ENTRIES (bytes
+    identical to encode_directory); leaf layout above it."""
+    n = len(entries)
+    b = DirectoryBuilder(n, internal_compression)
+    if n:
+        b.add(
+            np.fromiter((e.tile_id for e in entries), np.int64, n),
+            np.fromiter((e.offset for e in entries), np.int64, n),
+            np.fromiter((e.length for e in entries), np.int64, n),
+            np.fromiter((e.run_length for e in entries), np.int64, n),
+        )
+    root, leaf, n_out = b.finish()
+    return root, leaf, n_out
 
 
 # ---------------------------------------------------------------------------

@@ -1,17 +1,20 @@
 #!/usr/bin/env python
-"""Directory-assembly scale bench (round-3 review item 6 'done' evidence).
+"""Directory-assembly scale bench (round-3 review item 6; round-5 leaf
+writer evidence).
 
 Synthesizes N directory entries (default 10^7) as a distributed DataFrame,
-runs the executor-chunked varint encode + O(chunks) driver stitch, and
-reports wall time plus driver max-RSS before/after — demonstrating the
-driver no longer materializes the entry list (flat RSS at 10^7 entries,
-where the old collect() path held ~10^7 Row objects).
+runs the executor-chunked run-coalesce + streamed driver assembly
+(DirectoryBuilder), and reports wall time plus driver max-RSS
+before/after — the driver never materializes the entry list or the full
+directory bytes: past ROOT_MAX_ENTRIES coalesced entries, compressed leaf
+directories spill to a temp file as they fill and only O(#leaves) root
+entries stay in memory.
 
     python scripts/bench_dir_assembly.py [N] [--parity]
 
 --parity additionally builds the same directory single-threaded via
-encode_directory and asserts byte equality (use N <= 2*10^6; the scalar
-path is the slow part).
+build_directories and asserts root/leaf byte equality (use N <= 2*10^6;
+the scalar entry-list construction is the slow part).
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ import json
 import os
 import resource
 import sys
+import tempfile
 import time
 
 
@@ -30,8 +34,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
-    from gpq_tiles_spark.pipeline import (
-        DIR_CHUNK_SCHEMA, _assemble_directory_from_chunks, _make_dir_chunk_encoder)
+    from gpq_tiles_spark.pipeline import _assemble_directory_stream
     from gpq_tiles_spark.session import get_spark
 
     spark = get_spark("dir-assembly-bench")
@@ -46,35 +49,37 @@ def main() -> None:
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024  # MiB
     t0 = time.perf_counter()
-    chunk_rows = ent.withColumn("cpid", F.spark_partition_id()).mapInPandas(
-        _make_dir_chunk_encoder(), schema=DIR_CHUNK_SCHEMA).collect()
-    t_chunks = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    dir_bytes, n_coalesced = _assemble_directory_from_chunks(chunk_rows)
-    t_stitch = time.perf_counter() - t1
-    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    with tempfile.TemporaryFile() as spill:
+        root_raw, n_coalesced, leaf_len = _assemble_directory_stream(ent, spill)
+        t_assemble = time.perf_counter() - t0
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
-    out = {
-        "entries": n,
-        "coalesced_entries": n_coalesced,
-        "chunks": len(chunk_rows),
-        "dir_bytes": len(dir_bytes),
-        "chunk_encode_sec": round(t_chunks, 2),
-        "driver_stitch_sec": round(t_stitch, 3),
-        "driver_rss_before_mb": rss0,
-        "driver_rss_after_mb": rss1,
-        "driver_rss_delta_mb": rss1 - rss0,
-    }
-    if parity:
-        from gpq_tiles_spark.kernels.pmtiles import (
-            DirEntry, coalesce_run_lengths, encode_directory)
+        out = {
+            "entries": n,
+            "coalesced_entries": n_coalesced,
+            "root_bytes": len(root_raw),
+            "leaf_section_bytes": leaf_len,
+            "assemble_sec": round(t_assemble, 2),
+            "driver_rss_before_mb": rss0,
+            "driver_rss_after_mb": rss1,
+            "driver_rss_delta_mb": rss1 - rss0,
+        }
+        if parity:
+            from gpq_tiles_spark.kernels.pmtiles import (
+                DirEntry, build_directories, coalesce_run_lengths)
 
-        rows = ent.collect()
-        rows.sort(key=lambda r: r.tile_id)
-        want = encode_directory(coalesce_run_lengths(
-            [DirEntry(r.tile_id, r.off, r.len, 1) for r in rows]))
-        out["parity"] = dir_bytes == want
-        assert out["parity"], "distributed directory differs from scalar"
+            rows = ent.collect()
+            rows.sort(key=lambda r: r.tile_id)
+            want_root, want_leaf, want_n = build_directories(
+                coalesce_run_lengths(
+                    [DirEntry(r.tile_id, r.off, r.len, 1) for r in rows]))
+            spill.seek(0)
+            got_leaf = spill.read()
+            out["parity"] = (
+                root_raw == want_root and got_leaf == want_leaf
+                and n_coalesced == want_n
+            )
+            assert out["parity"], "distributed directory differs from scalar"
     print(json.dumps(out))
     spark.stop()
 

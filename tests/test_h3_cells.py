@@ -49,3 +49,90 @@ def test_h3_column_roundtrip(spark):
     assert got[1] == want[0] and got[2] == want[1]
     # nearby points share a coarse cell — the join-key property kNN uses
     assert got[1] == got[2]
+
+
+# ---------------------------------------------------------------------------
+# Round 5: fake-module adapter tests — assert the v3/v4 API mapping, the
+# (lat, lng) argument order, and the uint64<->int64 reinterpretation
+# WITHOUT the h3 dependency. The fakes are deterministic stand-ins whose
+# cell ids encode (lat, lng, res) reversibly, so a swapped argument or a
+# missed str<->int conversion changes the result and fails loudly. Only
+# the live-lib column test above still needs the real package.
+# ---------------------------------------------------------------------------
+
+import sys
+import types
+
+
+def _fake_cell_int(lat: float, lng: float, res: int) -> int:
+    # asymmetric in lat/lng on purpose: argument-order bugs change the id
+    return (res << 48) | (int((lat + 90.0) * 1000) << 24) \
+        | int((lng + 180.0) * 1000)
+
+
+def _make_fake_v4():
+    m = types.ModuleType("h3")
+
+    def latlng_to_cell(lat, lng, res):
+        return format(_fake_cell_int(lat, lng, res), "x")
+
+    def grid_disk(cell_str, k):
+        base = int(cell_str, 16)
+        return [format(base + d, "x") for d in range(1 + 3 * k * (k + 1))]
+
+    m.latlng_to_cell = latlng_to_cell
+    m.grid_disk = grid_disk
+    m.str_to_int = lambda s: int(s, 16)
+    m.int_to_str = lambda v: format(int(v), "x")
+    return m
+
+
+def _make_fake_v3():
+    m = types.ModuleType("h3")
+
+    def geo_to_h3(lat, lng, res):
+        return format(_fake_cell_int(lat, lng, res), "x")
+
+    def k_ring(cell_str, k):
+        base = int(cell_str, 16)
+        return [format(base + d, "x") for d in range(1 + 3 * k * (k + 1))]
+
+    m.geo_to_h3 = geo_to_h3
+    m.k_ring = k_ring
+    m.string_to_h3 = lambda s: int(s, 16)
+    m.h3_to_string = lambda v: format(int(v), "x")
+    return m
+
+
+@pytest.mark.parametrize("make_fake", [_make_fake_v4, _make_fake_v3],
+                         ids=["v4-api", "v3-api"])
+def test_h3_adapter_mapping_with_fake_lib(monkeypatch, make_fake):
+    fake = make_fake()
+    monkeypatch.setitem(sys.modules, "h3", fake)
+    monkeypatch.setattr(C, "HAS_H3", True)
+    lng = np.array([4.9, -122.3, 151.2])
+    lat = np.array([52.4, 47.6, -33.9])
+    got = C.latlng_to_h3_cell(lng, lat, 9)
+    want = np.array([_fake_cell_int(la, lo, 9) for lo, la in zip(lng, lat)],
+                    dtype=np.uint64).astype(np.int64)
+    assert got.tolist() == want.tolist(), \
+        "adapter must pass (lat, lng, res) in that order and intify cells"
+    # disk contract: per-input idx mapping + str->int conversion of rings
+    idx, disk = C.h3_grid_disk(got[:2], 2)
+    per = 1 + 3 * 2 * (2 + 1)  # 19 cells per disk at k=2
+    assert len(idx) == len(disk) == 2 * per
+    assert idx.tolist() == [0] * per + [1] * per
+    assert disk[:per].tolist() == [int(got[0]) + d for d in range(per)]
+    assert disk[per:].tolist() == [int(got[1]) + d for d in range(per)]
+
+
+def test_h3_adapter_int64_reinterpret_roundtrip(monkeypatch):
+    """Cells with bit 63 clear reinterpret losslessly; the adapter's
+    uint64 view survives values above 2^62 (real H3 ids use 63 bits)."""
+    fake = _make_fake_v4()
+    big = (0x08FF << 48) | 0x1234_5678  # 60-bit id, like real H3 mode bits
+    fake.latlng_to_cell = lambda lat, lng, res: format(big, "x")
+    monkeypatch.setitem(sys.modules, "h3", fake)
+    monkeypatch.setattr(C, "HAS_H3", True)
+    got = C.latlng_to_h3_cell(np.array([0.0]), np.array([0.0]), 9)
+    assert np.uint64(got.astype(np.uint64)[0]) == np.uint64(big)

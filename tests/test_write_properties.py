@@ -330,3 +330,68 @@ def test_default_path_unchanged_with_props_column(spark, prop_features, tmp_path
     convert(prop_features, p1, cfg)
     convert(prop_features.drop("props"), p2, cfg)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_premerge_props_byte_identical(spark, prop_features, tmp_path):
+    """Round 5: the premerge property layout (map-side geometry encode +
+    reduce-side vectorized interning) must produce the byte-identical
+    archive to the WKB-layout props path — single-writer AND sharded."""
+    cfg = TilerConfig(min_zoom=2, max_zoom=4, shuffle_partitions=4,
+                      write_properties=True)
+    p_wkb = str(tmp_path / "wkb.pmtiles")
+    p_pre = str(tmp_path / "pre.pmtiles")
+    p_pre_sh = str(tmp_path / "pre_sharded.pmtiles")
+    convert(prop_features, p_wkb, cfg, premerge=False)
+    convert(prop_features, p_pre, cfg, premerge=True)
+    convert_sharded(prop_features, p_pre_sh, cfg, premerge=True)
+    a = open(p_wkb, "rb").read()
+    assert a == open(p_pre, "rb").read()
+    assert a == open(p_pre_sh, "rb").read()
+
+
+def test_props_budget_counts_dictionary(spark, tmp_path):
+    """ADVICE r4: max_tile_bytes must charge the layer key/value
+    dictionary bytes and prune entries no surviving feature references
+    (remapping tag indices) — a capped tile stays within budget even when
+    property values dominate."""
+    rows = []
+    for i in range(40):
+        # all points land in ONE z2 tile; each carries a fat distinct value
+        cx, cy = 10.0 + (i % 8) * 0.5, 40.0 + (i // 8) * 0.5
+        wkb = G.to_wkb((G.POINT, (cx, cy)))
+        rows.append((i, str(i), 0, bytearray(wkb), G.POINT,
+                     cx, cy, cx, cy, "v" * 120 + f"-{i:02d}"))
+    schema = (
+        "feature_id long, doc_id string, span_offset int, wkb binary, "
+        "geom_type int, lng_min double, lat_min double, lng_max double, "
+        "lat_max double, blurb string"
+    )
+    feats = encode_props_column(
+        spark.createDataFrame(rows, schema), ["blurb"])
+    budget = 1500
+    for pm in (False, True):
+        out = str(tmp_path / f"budget_{pm}.pmtiles")
+        cfg = TilerConfig(min_zoom=2, max_zoom=2, shuffle_partitions=4,
+                          write_properties=True, max_tile_bytes=budget)
+        stats = convert(feats, out, cfg, premerge=pm)
+        assert stats["tiles"] >= 1
+        r = PMTilesReader(out)
+        for tid in r.tile_ids():
+            raw = r.get_tile_bytes(tid)
+            lay = decode_tile(raw)[0]
+            n_feat = len(lay["features"])
+            assert 1 <= n_feat < 40, "budget must have dropped features"
+            # capped tile's total bytes within budget (+layer head/tail
+            # and outer framing, which the budget rule excludes)
+            assert len(raw) <= budget + 64
+            # dictionary pruned to referenced entries only, indices remapped
+            used_k, used_v = set(), set()
+            for f in lay["features"]:
+                t = f["tags"]
+                used_k.update(t[0::2])
+                used_v.update(t[1::2])
+            assert used_k == set(range(len(lay["keys"])))
+            assert used_v == set(range(len(lay["values"])))
+    # both layouts agree byte-for-byte on the capped tile too
+    assert (open(str(tmp_path / "budget_False.pmtiles"), "rb").read()
+            == open(str(tmp_path / "budget_True.pmtiles"), "rb").read())
