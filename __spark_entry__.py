@@ -930,14 +930,16 @@ def _q_tile_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register(spark, sf_dir)
-    feats = _event_features(spark)
-    ev = spark.sql(
-        "SELECT event_id AS feature_id, "
-        "concat('cat-', CAST(event_id % 7 AS STRING)) AS category, "
-        "CAST(event_id % 100 AS BIGINT) AS magnitude FROM events"
-    )
-    featp = encode_props_column(feats.join(ev, "feature_id"),
-                                ["category", "magnitude"])
+    # property columns derive from the SAME scan as the features (no join:
+    # a feature_id equi-join here would add two exchanges for columns the
+    # events row already carries)
+    feats = _event_features(spark, extra_cols={
+        "category": "concat('cat-', CAST(event_id % 7 AS STRING))",
+        "magnitude": "CAST(event_id % 100 AS BIGINT)",
+    })
+    featp = encode_props_column(feats, ["category", "magnitude"]).select(
+        "feature_id", "doc_id", "span_offset", "wkb", "geom_type",
+        "lng_min", "lat_min", "lng_max", "lat_max", "props")
     cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8,
                       write_properties=True)
     tiles = encode_tiles_premerge_props(featp, cfg)
@@ -966,8 +968,12 @@ def _q_tile_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _event_features(spark: SparkSession) -> DataFrame:
-    """events -> features DataFrame (points) for pipeline-backed queries."""
+def _event_features(spark: SparkSession,
+                    extra_cols: dict[str, str] | None = None) -> DataFrame:
+    """events -> features DataFrame (points) for pipeline-backed queries.
+    ``extra_cols`` (name -> SQL expr over events) pass through alongside
+    the feature columns — property queries derive their tag columns in
+    the same scan instead of joining them back on feature_id."""
     import pandas as pd
 
     from gpq_tiles_spark.kernels import geom as G
@@ -976,8 +982,12 @@ def _event_features(spark: SparkSession) -> DataFrame:
         StructField, StructType,
     )
 
+    extra_sql = "".join(
+        f", {expr} AS {name}" for name, expr in (extra_cols or {}).items()
+    )
     pts = spark.sql(
-        f"SELECT event_id AS feature_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events"
+        f"SELECT event_id AS feature_id, {EVENT_LNG} AS lng, "
+        f"{EVENT_LAT} AS lat{extra_sql} FROM events"
     )
 
     schema = StructType([
@@ -990,7 +1000,7 @@ def _event_features(spark: SparkSession) -> DataFrame:
         StructField("lat_min", DoubleType()),
         StructField("lng_max", DoubleType()),
         StructField("lat_max", DoubleType()),
-    ])
+    ] + [pts.schema[name] for name in (extra_cols or {})])
 
     def to_feat(batches):
         import numpy as np
@@ -1007,7 +1017,7 @@ def _event_features(spark: SparkSession) -> DataFrame:
             buf[:, 5:] = xy.view(np.uint8).reshape(n, 16)
             raw = buf.tobytes()
             wkbs = [raw[i * 21:(i + 1) * 21] for i in range(n)]
-            yield pd.DataFrame({
+            out = {
                 "feature_id": pdf["feature_id"],
                 "doc_id": pdf["feature_id"].astype(str),
                 "span_offset": 0,
@@ -1015,7 +1025,10 @@ def _event_features(spark: SparkSession) -> DataFrame:
                 "geom_type": G.POINT,
                 "lng_min": pdf["lng"], "lat_min": pdf["lat"],
                 "lng_max": pdf["lng"], "lat_max": pdf["lat"],
-            })
+            }
+            for name in (extra_cols or {}):
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
 
     return pts.mapInPandas(to_feat, schema=schema)
 

@@ -112,6 +112,8 @@ def main() -> None:
         result["scaling"] = run_scaling()
     if "--adm4" in sys.argv:
         result["adm4_anchor"] = run_adm4_anchor(cpus)
+    if "--adm4-props" in sys.argv:
+        result["adm4_props_anchor"] = run_adm4_anchor(cpus, props=True)
     if "--rowgroups" in sys.argv:
         result["rowgroup_pathology"] = run_rowgroup_pathology(cpus)
 
@@ -241,16 +243,22 @@ def _adm4_fixture(spark, cores: int) -> str:
     return path
 
 
-def run_adm4_anchor(cores: int = 32) -> dict:
+def run_adm4_anchor(cores: int = 32, props: bool = False) -> dict:
     """Like-for-like run against the reference's published anchor: 363,783
     VERTEX-REALISTIC polygons (~550 vertices each, ~= the real 3.2 GB ADM4
     fixture's vertex density) in a Netherlands-sized box -> z0-14 PMTiles
     archive (context/ARCHITECTURE.md:74-80: ~3 min single-node for ADM4).
     Input is read from disk (pre-materialized parquet, generation untimed);
     the timed section is scan -> fan-out -> shuffle -> encode -> archive
-    via the sharded sink."""
+    via the sharded sink.
+
+    ``props=True`` (--adm4-props) runs the SAME corpus with two derived
+    property columns serialized as real MVT tags (write_properties) on the
+    premerge-props layout — the round-5 anchor for the property path. The
+    reference has no comparable mode (its writer emits empty properties),
+    so the comparison is against our own propertyless anchor."""
     from gpq_tiles_spark.config import TilerConfig
-    from gpq_tiles_spark.pipeline import convert_sharded
+    from gpq_tiles_spark.pipeline import convert_sharded, encode_props_column
 
     spark = _fresh_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -275,11 +283,23 @@ def run_adm4_anchor(cores: int = 32) -> dict:
     # concatenates — which also dissolves the mid-zoom mega-tile skew (the
     # NL box fits in ONE tile at z<=6): the mega-tile reduce task is a
     # bytes concat + gzip, not 3 GB of geometry encoding.
-    cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores)
+    cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores,
+                      write_properties=props)
+    out_path = "/tmp/gpq_bench/adm4_like%s.pmtiles" % ("_props" if props else "")
+    if props:
+        from pyspark.sql import functions as F
+
+        feats = encode_props_column(
+            feats.withColumn(
+                "name",
+                F.concat(F.lit("adm4-"), F.col("feature_id").cast("string")))
+            .withColumn("pop", (F.col("feature_id") % 100_000).cast("long")),
+            ["name", "pop"],
+        )
     t0 = time.perf_counter()
     # sharded sink: executor-parallel blob compression, byte-identical
     # archive (tests/test_pipeline_e2e.py::test_convert_sharded_byte_identical)
-    stats = convert_sharded(feats, "/tmp/gpq_bench/adm4_like.pmtiles", cfg)
+    stats = convert_sharded(feats, out_path, cfg)
     dt = time.perf_counter() - t0
     fixture_bytes = sum(
         os.path.getsize(os.path.join(path, f))
@@ -288,7 +308,8 @@ def run_adm4_anchor(cores: int = 32) -> dict:
     spark.stop()
     return {
         "workload": "363,783 vertex-realistic (~550-vtx) polygons "
-                    "(NL-sized box) -> z0-14 pmtiles, input read from disk",
+                    "(NL-sized box) -> z0-14 pmtiles, input read from disk"
+                    + (", 2 property tags/feature" if props else ""),
         "sec": round(dt, 1),
         "features_per_sec": round(363_783 / dt, 1),
         "tiles": stats["tiles"],

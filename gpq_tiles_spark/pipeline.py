@@ -1596,11 +1596,15 @@ def props_field_metadata(df: DataFrame, cols: list[str]) -> dict[str, str]:
 
 def _apply_property_filter(config: TilerConfig):
     """-y/-x/-X semantics over a props entry list (property_filter.rs:19-72
-    applied to TAGS here, not just field metadata)."""
+    applied to TAGS here, not just field metadata). Returns None when no
+    filter is configured — the encoders skip the per-feature filter pass
+    entirely (the common case pays zero)."""
     if config.exclude_all_properties:
         return lambda items: []
     inc = set(config.include_properties) if config.include_properties is not None else None
     exc = set(config.exclude_properties or ())
+    if inc is None and not exc:
+        return None
     def f(items):
         return [
             it for it in items
@@ -1628,13 +1632,19 @@ def _splice_tags(m: bytes, fid: int, tag_bytes: bytes) -> bytes:
     return b"\x12" + _varint(len(new_body)) + new_body
 
 
+# below this many entries a plain dict-interning loop beats two
+# pd.factorize calls (each carries ~10s of µs of fixed overhead — ruinous
+# when a z8+ batch holds tens of thousands of 2-entry tiles); both paths
+# produce identical first-appearance dictionary order
+_FACTORIZE_MIN_ENTRIES = 512
+
+
 def _intern_tile_tags(items_per_feat, prop_filter):
-    """Per-TILE key/value interning, vectorized: one flat pass collects
-    the filtered (key, value-bytes) pairs, then pd.factorize assigns
-    dictionary indices in first-appearance order — exactly the order a
-    per-entry dict-interning loop produces, without per-entry dict
-    lookups (VERDICT r4 efficiency item). Returns (per-feature packed tag
-    field bytes, keys, vals)."""
+    """Per-TILE key/value interning in first-appearance order. Small tiles
+    take a dict loop; large tiles (the 100-TB-lens case: one dense tile
+    spanning a whole batch) take ONE pd.factorize pass over the flat
+    entry arrays instead of per-entry dict lookups (VERDICT r4). Returns
+    (per-feature packed tag field bytes, keys, vals)."""
     from .kernels.mvt import _packed_u32
 
     keys_flat: list[str] = []
@@ -1642,26 +1652,38 @@ def _intern_tile_tags(items_per_feat, prop_filter):
     bounds = [0]
     for items in items_per_feat:
         if items is not None:
-            for it in prop_filter(list(items)):
+            if prop_filter is not None:
+                items = prop_filter(list(items))
+            for it in items:
                 keys_flat.append(it["key"])
                 vals_flat.append(bytes(it["val"]))
         bounds.append(len(keys_flat))
     n = len(items_per_feat)
     if not keys_flat:
         return [b""] * n, [], []
-    kcodes, kuniq = pd.factorize(np.asarray(keys_flat, dtype=object))
-    vcodes, vuniq = pd.factorize(np.asarray(vals_flat, dtype=object))
+    if len(keys_flat) >= _FACTORIZE_MIN_ENTRIES:
+        kcodes, kuniq = pd.factorize(np.asarray(keys_flat, dtype=object))
+        vcodes, vuniq = pd.factorize(np.asarray(vals_flat, dtype=object))
+        keys, vals = list(kuniq), [bytes(v) for v in vuniq]
+    else:
+        key_idx: dict[str, int] = {}
+        val_idx: dict[bytes, int] = {}
+        kcodes = [key_idx.setdefault(k, len(key_idx)) for k in keys_flat]
+        vcodes = [val_idx.setdefault(v, len(val_idx)) for v in vals_flat]
+        keys, vals = list(key_idx), list(val_idx)
     tag_bytes: list[bytes] = []
     for i in range(n):
         s, e = bounds[i], bounds[i + 1]
         if s == e:
             tag_bytes.append(b"")
+        elif e - s == 1:
+            tag_bytes.append(_packed_u32(2, (int(kcodes[s]), int(vcodes[s]))))
         else:
-            tags = np.empty(2 * (e - s), dtype=np.int64)
-            tags[0::2] = kcodes[s:e]
-            tags[1::2] = vcodes[s:e]
-            tag_bytes.append(_packed_u32(2, tags.tolist()))
-    return tag_bytes, list(kuniq), [bytes(v) for v in vuniq]
+            tags = [0] * (2 * (e - s))
+            tags[0::2] = (int(c) for c in kcodes[s:e])
+            tags[1::2] = (int(c) for c in vcodes[s:e])
+            tag_bytes.append(_packed_u32(2, tags))
+    return tag_bytes, keys, vals
 
 
 def _encode_props_tile(tile_id: int, fids, msgs, items_per_feat,
