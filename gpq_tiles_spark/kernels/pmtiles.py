@@ -662,26 +662,36 @@ class DirectoryBuilder:
             return
         self._pend.append((tid, off, length, run))
         self._pend_n += len(tid)
-        while self._pend_n >= self.leaf_size:
-            self._flush_leaf(self.leaf_size)
-
-    def _flush_leaf(self, take: int) -> None:
-        tid, off, length, run = (
+        if self._pend_n < self.leaf_size:
+            return
+        # ONE concatenation of the backlog, then full leaves slice off as
+        # views — re-concatenating per flush would make a large single
+        # add() (the build_directories path) quadratic in entry count
+        tid_a, off_a, len_a, run_a = (
             np.concatenate([p[i] for p in self._pend]) for i in range(4)
         )
-        blob = compress(
-            encode_leaf(tid[:take], off[:take], length[:take], run[:take]),
-            self.codec)
+        pos = 0
+        total = len(tid_a)
+        while total - pos >= self.leaf_size:
+            self._write_leaf(tid_a[pos:pos + self.leaf_size],
+                             off_a[pos:pos + self.leaf_size],
+                             len_a[pos:pos + self.leaf_size],
+                             run_a[pos:pos + self.leaf_size])
+            pos += self.leaf_size
+        if pos < total:
+            self._pend = [(tid_a[pos:], off_a[pos:], len_a[pos:],
+                           run_a[pos:])]
+            self._pend_n = total - pos
+        else:
+            self._pend = []
+            self._pend_n = 0
+
+    def _write_leaf(self, tid, off, length, run) -> None:
+        blob = compress(encode_leaf(tid, off, length, run), self.codec)
         self.root_entries.append(
             DirEntry(int(tid[0]), self._leaf_off, len(blob), 0))
         self._spill.write(blob)
         self._leaf_off += len(blob)
-        if take < len(tid):
-            self._pend = [(tid[take:], off[take:], length[take:], run[take:])]
-            self._pend_n = len(tid) - take
-        else:
-            self._pend = []
-            self._pend_n = 0
 
     @property
     def leaf_length(self) -> int:
@@ -710,7 +720,11 @@ class DirectoryBuilder:
                     + bytes(self._cols[2]) + bytes(self._cols[3]),
                     b"", self.n_written)
         if self._pend_n:
-            self._flush_leaf(self._pend_n)
+            self._write_leaf(*(
+                np.concatenate([p[i] for p in self._pend]) for i in range(4)
+            ))
+            self._pend = []
+            self._pend_n = 0
         root = encode_directory(self.root_entries)
         leaf_section = self._spill.getvalue() if self._own_spill else None
         return root, leaf_section, self.n_written

@@ -1080,6 +1080,43 @@ def make_fanout_encoded(config: TilerConfig,
     return fanout_encoded
 
 
+def _run_carry(chunk_fn):
+    """Shared tile-run carry for reduce-side encoders: input batches are
+    (tile_id-sorted) within the partition; complete runs go to
+    ``chunk_fn`` as they close, and the trailing (possibly incomplete)
+    run carries across Arrow batches as a LIST of frames — a mega-tile
+    run spanning hundreds of small batches must not pay one
+    quadratically-growing pd.concat per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: list[pd.DataFrame] = []
+        pend_last = None  # last tile_id seen (runs are contiguous)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tids = pdf["tile_id"].to_numpy()
+            if pend and tids[0] != pend_last:
+                yield chunk_fn(pd.concat(pend, ignore_index=True)
+                               if len(pend) > 1 else pend[0])
+                pend = []
+            cut = int(np.searchsorted(tids, tids[-1], side="left"))
+            body = pdf.iloc[:cut]
+            if len(body):
+                if pend:
+                    pend.append(body)
+                    yield chunk_fn(pd.concat(pend, ignore_index=True))
+                    pend = []
+                else:
+                    yield chunk_fn(body)
+            pend.append(pdf.iloc[cut:])
+            pend_last = tids[-1]
+        if pend:
+            yield chunk_fn(pd.concat(pend, ignore_index=True)
+                           if len(pend) > 1 else pend[0])
+
+    return run
+
+
 def make_wrap_encoder(config: TilerConfig,
                       metrics: PipelineMetrics | None = None):
     """Premerge reduce side: concatenate each tile's (feature_id-sorted)
@@ -1108,36 +1145,7 @@ def make_wrap_encoder(config: TilerConfig,
             metrics.records_capped.add(cap_stats[1])
         return pd.DataFrame(cols)
 
-    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # pend is a LIST of frames, concatenated only when a run completes:
-        # a mega-tile run spanning hundreds of small Arrow batches would
-        # otherwise pay one quadratically-growing pd.concat per batch
-        pend: list[pd.DataFrame] = []
-        pend_last = None  # last tile_id seen (runs are contiguous)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            tids = pdf["tile_id"].to_numpy()
-            if pend and tids[0] != pend_last:
-                yield wrap_chunk(pd.concat(pend, ignore_index=True)
-                                 if len(pend) > 1 else pend[0])
-                pend = []
-            cut = int(np.searchsorted(tids, tids[-1], side="left"))
-            body = pdf.iloc[:cut]
-            if len(body):
-                if pend:
-                    pend.append(body)
-                    yield wrap_chunk(pd.concat(pend, ignore_index=True))
-                    pend = []
-                else:
-                    yield wrap_chunk(body)
-            pend.append(pdf.iloc[cut:])
-            pend_last = tids[-1]
-        if pend:
-            yield wrap_chunk(pd.concat(pend, ignore_index=True)
-                             if len(pend) > 1 else pend[0])
-
-    return wrap
+    return _run_carry(wrap_chunk)
 
 
 def encode_tiles_premerge(features: DataFrame, config: TilerConfig,
@@ -1564,7 +1572,29 @@ def encode_props_column(df: DataFrame, cols: list[str],
         for pdf in batches:
             per_col = []
             for c, kind in kinds.items():
-                codes, uniq = pd.factorize(pdf[c], use_na_sentinel=True)
+                col = pdf[c]
+                if col.dtype.kind == "f":
+                    # factorize the BIT PATTERN, not the float value:
+                    # -0.0 == 0.0 would otherwise collapse to whichever
+                    # appeared first and change the wire bytes. NaN rows
+                    # still drop (the NaN unique encodes to None below).
+                    vals = col.to_numpy()
+                    if vals.dtype != np.float64:
+                        vals = vals.astype(np.float64)
+                    codes, uniq_bits = pd.factorize(vals.view(np.int64))
+                    uniq = np.asarray(uniq_bits, dtype=np.int64).view(
+                        np.float64)
+                else:
+                    try:
+                        codes, uniq = pd.factorize(col, use_na_sentinel=True)
+                    except TypeError:
+                        # unhashable elements (list/array values): per-row
+                        # encode — the pre-round-5 semantics for these
+                        per_col.append([
+                            (None if b is None else {"key": c, "val": b})
+                            for b in (_encode_unique(v, kind) for v in col)
+                        ])
+                        continue
                 enc = [
                     (None if b is None else {"key": c, "val": b})
                     for b in (_encode_unique(v, kind) for v in uniq)
@@ -1704,6 +1734,13 @@ def _encode_props_tile(tile_id: int, fids, msgs, items_per_feat,
     kept). Returns (mvt bytes, n_features)."""
     from .kernels.mvt import _len_delim, _varint
 
+    # dead records never contribute to the dictionary (they encode no
+    # tags), so their props must not be interned — otherwise every tile
+    # holding a thinned record gains unreferenced key/value entries
+    if any(not m for m in msgs):
+        items_per_feat = [
+            it if m else None for m, it in zip(msgs, items_per_feat)
+        ]
     tag_bytes, keys, vals = _intern_tile_tags(items_per_feat, prop_filter)
     parts: list[bytes] = []
     for m, fidv, tb in zip(msgs, fids, tag_bytes):
@@ -1795,36 +1832,7 @@ def make_props_encoder(config: TilerConfig,
             metrics.records_capped.add(cap_stats[1])
         return pd.DataFrame(rows)
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # LIST-of-frames carry (same rationale as make_wrap_encoder): a
-        # mega-tile run spanning many Arrow batches must not pay one
-        # quadratically-growing pd.concat per batch
-        pend: list[pd.DataFrame] = []
-        pend_last = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            tids = pdf["tile_id"].to_numpy()
-            if pend and tids[0] != pend_last:
-                yield encode_chunk(pd.concat(pend, ignore_index=True)
-                                   if len(pend) > 1 else pend[0])
-                pend = []
-            cut = int(np.searchsorted(tids, tids[-1], side="left"))
-            body = pdf.iloc[:cut]
-            if len(body):
-                if pend:
-                    pend.append(body)
-                    yield encode_chunk(pd.concat(pend, ignore_index=True))
-                    pend = []
-                else:
-                    yield encode_chunk(body)
-            pend.append(pdf.iloc[cut:])
-            pend_last = tids[-1]
-        if pend:
-            yield encode_chunk(pd.concat(pend, ignore_index=True)
-                               if len(pend) > 1 else pend[0])
-
-    return encode
+    return _run_carry(encode_chunk)
 
 
 def encode_tiles_with_props(records: DataFrame, props: DataFrame,
@@ -1885,11 +1893,11 @@ def make_fanout_encoded_props(config: TilerConfig,
     the per-tile tag interning (which needs the whole tile) remains
     reduce-side (VERDICT r5 item 2).
 
-    Duplicate feature_ids (hash-collided source ids): each record keeps
-    its OWN row's props. The WKB-layout join resolves duplicates to the
-    ordering-minimum props instead; the two layouts are byte-identical
-    whenever feature_ids are unique (always, short of a 63-bit hash
-    collision)."""
+    Duplicate feature_ids (hash-collided source ids): records take the
+    FIRST same-id row's props within their Arrow batch. The WKB-layout
+    join resolves duplicates to the ordering-minimum props instead; the
+    two layouts are byte-identical whenever feature_ids are unique
+    (always, short of a 63-bit hash collision)."""
     fan = make_fanout(config, metrics)
     extent, buffer_px = config.extent, config.buffer_pixels
 
@@ -1899,9 +1907,12 @@ def make_fanout_encoded_props(config: TilerConfig,
                 continue
             # the fan-out is stateless across batches, so frames drained
             # from a single-batch iterator reference only THIS batch's
-            # feature_ids — the props lookup is a local dict
-            pmap = dict(zip(pdf["feature_id"].tolist(),
-                            pdf["props"].tolist()))
+            # feature_ids — the props lookup is a local dict (first
+            # same-id row wins, deterministically, not dict-last)
+            pmap: dict = {}
+            for f, p in zip(pdf["feature_id"].tolist(),
+                            pdf["props"].tolist()):
+                pmap.setdefault(f, p)
             for frame in fan(iter([pdf])):
                 tid = frame["tile_id"].to_numpy(dtype=np.int64)
                 fids = frame["feature_id"].to_numpy(dtype=np.int64)
@@ -1962,34 +1973,7 @@ def make_wrap_props_encoder(config: TilerConfig,
             metrics.records_capped.add(cap_stats[1])
         return pd.DataFrame(rows)
 
-    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # LIST-of-frames run carry, same rationale as make_wrap_encoder
-        pend: list[pd.DataFrame] = []
-        pend_last = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            tids = pdf["tile_id"].to_numpy()
-            if pend and tids[0] != pend_last:
-                yield wrap_chunk(pd.concat(pend, ignore_index=True)
-                                 if len(pend) > 1 else pend[0])
-                pend = []
-            cut = int(np.searchsorted(tids, tids[-1], side="left"))
-            body = pdf.iloc[:cut]
-            if len(body):
-                if pend:
-                    pend.append(body)
-                    yield wrap_chunk(pd.concat(pend, ignore_index=True))
-                    pend = []
-                else:
-                    yield wrap_chunk(body)
-            pend.append(pdf.iloc[cut:])
-            pend_last = tids[-1]
-        if pend:
-            yield wrap_chunk(pd.concat(pend, ignore_index=True)
-                             if len(pend) > 1 else pend[0])
-
-    return wrap
+    return _run_carry(wrap_chunk)
 
 
 def encode_tiles_premerge_props(features: DataFrame, config: TilerConfig,
@@ -2170,7 +2154,13 @@ def _assemble_directory_stream(ent: DataFrame, spill) -> tuple[bytes, int, int]:
     for r in chunks.select("cpid", "tid_b", "off_b", "len_b", "run_b"
                            ).toLocalIterator(prefetchPartitions=True):
         cpid = int(r["cpid"])
-        assert cpid > prev_cpid, "directory chunks out of range order"
+        if cpid <= prev_cpid:
+            # a mis-ordered stream would write a mis-sorted directory that
+            # readers silently resolve wrong — fail loudly (a bare assert
+            # would vanish under python -O)
+            raise RuntimeError(
+                f"directory chunks out of range order ({cpid} after "
+                f"{prev_cpid})")
         prev_cpid = cpid
         builder.add(
             np.frombuffer(bytes(r["tid_b"]), dtype=np.int64),
@@ -2404,8 +2394,12 @@ def _finalize_sharded_distributed(entries_df: DataFrame,
             if parts else ent.repartitionByRange("tile_id")
         ).sortWithinPartitions("tile_id")
         leaf_tmp = tempfile.TemporaryFile()
-        root_dir_bytes, n_coalesced, leaf_len = _assemble_directory_stream(
-            ent, leaf_tmp)
+        try:
+            root_dir_bytes, n_coalesced, leaf_len = \
+                _assemble_directory_stream(ent, leaf_tmp)
+        except BaseException:
+            leaf_tmp.close()  # a failed finalize must not leak the spill fd
+            raise
         # stream the winner list in win_tile order (== final data offset
         # order) for the copy loop — O(1) driver memory; blobs are read
         # from their shard files by (pid, local_off) seeks. NO orderBy:

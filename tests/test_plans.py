@@ -114,3 +114,30 @@ def test_knn_distributed_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan  # cell equi-join only
+
+
+def test_premerge_props_single_wide_shuffle(spark, docs_table):
+    """Round 5: the premerge property layout must keep the propertyless
+    premerge plan shape — ONE hash exchange on tile_id carrying the framed
+    messages + props, no join, no extra sort exchange (the props travel on
+    the feature row, so there is nothing to join back)."""
+    from pyspark.sql import functions as F
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.extract import extract_features
+    from gpq_tiles_spark.pipeline import (
+        encode_props_column,
+        encode_tiles_premerge_props,
+    )
+
+    feats = extract_features(spark.read.parquet(docs_table)).withColumn(
+        "tagval", F.col("feature_id") % 5)
+    featp = encode_props_column(feats, ["tagval"])
+    cfg = TilerConfig(min_zoom=0, max_zoom=4, shuffle_partitions=4,
+                      write_properties=True)
+    tiles = encode_tiles_premerge_props(featp, cfg)
+    plan = _plan(tiles)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert "Join" not in plan
+    assert "Sort [tile_id" in plan and "feature_id" in plan

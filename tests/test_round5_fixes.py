@@ -107,3 +107,83 @@ def test_props_dedup_winner_is_partition_order_independent(spark):
         )
         assert len(got) == 1
         assert bytes(got[0]["props"][0]["val"]) == b"\x01aa"
+
+
+def test_encode_props_tile_skips_dead_record_props():
+    """A dead record (empty msg) encodes no tags, so its props must not
+    enter the layer dictionary — otherwise tiles holding thinned records
+    carry unreferenced key/value entries (round-5 self-review)."""
+    from gpq_tiles_spark.kernels.mvt import encode_value
+    from gpq_tiles_spark.pipeline import _encode_props_tile
+
+    head, tail = b"\x0a\x01x", b"\x28\x80\x20\x78\x02"
+    live_msg = b"\x12\x04\x08\x01\x18\x01"
+    items = [{"key": "k", "val": encode_value("fat-value")}]
+    # dead record WITH props + live record WITHOUT: dictionary stays empty
+    mvt, n = _encode_props_tile(
+        7, [5, 6], [b"", live_msg], [items, None], None, head, tail, None)
+    assert n == 2
+    assert b"fat-value" not in mvt
+    # live record with the same props: value present exactly once
+    mvt2, _ = _encode_props_tile(
+        7, [5, 6], [b"", live_msg], [items, items], None, head, tail, None)
+    assert mvt2.count(b"fat-value") == 1
+
+
+def test_encode_props_column_handles_list_values(spark):
+    """Array-typed property columns (unhashable in factorize) must fall
+    back to per-row encoding, stringified through the 'str' kind — the
+    pre-round-5 semantics (round-5 self-review)."""
+    from gpq_tiles_spark.kernels.mvt import decode_value
+    from gpq_tiles_spark.pipeline import encode_props_column
+
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [3]), (3, None)],
+        "feature_id long, tags array<int>")
+    rows = {r.feature_id: r.props
+            for r in encode_props_column(df, ["tags"]).collect()}
+    assert decode_value(bytes(rows[1][0]["val"])) == "[1 2]" or \
+        "1" in decode_value(bytes(rows[1][0]["val"]))
+    assert rows[3] == []  # null array -> omitted
+
+
+def test_encode_props_column_preserves_negative_zero(spark):
+    from gpq_tiles_spark.kernels.mvt import encode_value
+    from gpq_tiles_spark.pipeline import encode_props_column
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -0.0), (3, -0.0), (4, 1.5)],
+        "feature_id long, v double")
+    rows = {r.feature_id: r.props
+            for r in encode_props_column(df, ["v"]).collect()}
+    assert bytes(rows[1][0]["val"]) == encode_value(0.0)
+    assert bytes(rows[2][0]["val"]) == encode_value(-0.0)
+    assert bytes(rows[1][0]["val"]) != bytes(rows[2][0]["val"])
+
+
+def test_directory_builder_single_add_equals_chunked_adds():
+    """One giant add() (build_directories) and many small add() calls
+    must produce identical root/leaf bytes — and the single-add path is
+    linear (one concatenation per overflow), not quadratic."""
+    import io
+
+    import numpy as np
+
+    from gpq_tiles_spark.kernels.pmtiles import DirectoryBuilder
+
+    n = 50_000
+    tid = np.arange(0, 2 * n, 2, dtype=np.int64)  # no coalescible runs
+    off = np.arange(n, dtype=np.int64) * 64
+    length = np.full(n, 64, dtype=np.int64)
+    run = np.ones(n, dtype=np.int64)
+
+    outs = []
+    for chunks in (1, 37):
+        spill = io.BytesIO()
+        b = DirectoryBuilder(n, spill=spill)
+        for part in np.array_split(np.arange(n), chunks):
+            b.add(tid[part], off[part], length[part], run[part])
+        root, _, cnt = b.finish()
+        assert cnt == n
+        outs.append((root, spill.getvalue()))
+    assert outs[0] == outs[1]
