@@ -366,9 +366,19 @@ class PMTilesAssembler:
             self._n_blobs += 1
             self._data_len += len(blob)
             self._by_hash[content_hash] = (off, len(blob), len(raw_mvt))
-            self.entries.append(DirEntry(tile_id, off, len(blob), 1))
+            ln = len(blob)
         else:
             off, ln, _ = hit
+        # run-coalesce ON ARRIVAL (tiles come in ascending tile_id order,
+        # so coalescing is a local check against the last entry): entry
+        # memory is O(coalesced runs), not O(tiles) — at 10^8 ocean-heavy
+        # tiles the dominant dedup runs collapse as they stream in instead
+        # of accumulating one DirEntry per tile until finalize
+        last = self.entries[-1] if self.entries else None
+        if (last is not None and last.offset == off and last.length == ln
+                and tile_id == last.tile_id + last.run_length):
+            last.run_length += 1
+        else:
             self.entries.append(DirEntry(tile_id, off, ln, 1))
 
     def finalize(self, path: str) -> Header:
