@@ -205,3 +205,136 @@ def test_grid_boundary_chunking_byte_identical():
     assert all((x is None) == (y is None) and (x == y or x is None)
                for x, y in zip(full, tiny))
     assert sum(1 for x in full if x is not None) > 10
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_directory_builder_chunking_invariance_and_decode(data):
+    """Round 5: DirectoryBuilder must produce identical root+leaf bytes
+    for ANY chunking of the same coalesced entry stream (including chunk
+    boundaries that split runs nowhere — entries are pre-coalesced — and
+    single-entry chunks that chain boundary merges), and the decoded
+    root(+leaves) must reproduce the entry list exactly."""
+    import io
+
+    from gpq_tiles_spark.kernels.pmtiles import (
+        DirectoryBuilder,
+        build_directories,
+        coalesce_run_lengths,
+        decode_directory,
+        decompress,
+        DirEntry,
+    )
+
+    n_raw = data.draw(st.integers(min_value=1, max_value=400))
+    # raw run_length-1 entries over a small blob pool: consecutive
+    # same-blob tile_ids coalesce, giving realistic mixed runs
+    n_blobs = data.draw(st.integers(min_value=1, max_value=8))
+    blob_lens = [data.draw(st.integers(min_value=1, max_value=900))
+                 for _ in range(n_blobs)]
+    offs = [sum(blob_lens[:i]) for i in range(n_blobs)]
+    tid = 0
+    raw = []
+    for _ in range(n_raw):
+        tid += data.draw(st.integers(min_value=1, max_value=3))
+        b = data.draw(st.integers(min_value=0, max_value=n_blobs - 1))
+        raw.append(DirEntry(tid, offs[b], blob_lens[b], 1))
+    entries = coalesce_run_lengths(raw)
+    n = len(entries)
+
+    want_root, want_leaf, want_n = build_directories(entries)
+    assert want_n == n
+
+    # random chunking through the streaming builder
+    import numpy as np
+
+    cuts = sorted(data.draw(
+        st.lists(st.integers(min_value=0, max_value=n), max_size=6)))
+    bounds = [0] + cuts + [n]
+    spill = io.BytesIO()
+    b2 = DirectoryBuilder(n, spill=spill)
+    for s, e in zip(bounds, bounds[1:]):
+        if s == e:
+            continue
+        b2.add(
+            np.array([x.tile_id for x in entries[s:e]], dtype=np.int64),
+            np.array([x.offset for x in entries[s:e]], dtype=np.int64),
+            np.array([x.length for x in entries[s:e]], dtype=np.int64),
+            np.array([x.run_length for x in entries[s:e]], dtype=np.int64),
+        )
+    got_root, _, got_n = b2.finish()
+    assert got_n == n
+    assert got_root == want_root
+    assert spill.getvalue() == want_leaf
+
+    # decode side reproduces the list (root-only or via leaves)
+    root_entries = decode_directory(want_root)
+    if any(e.run_length == 0 for e in root_entries):
+        import gzip
+
+        expanded = []
+        for e in root_entries:
+            expanded.extend(decode_directory(gzip.decompress(
+                want_leaf[e.offset:e.offset + e.length])))
+    else:
+        expanded = root_entries
+    assert [(e.tile_id, e.offset, e.length, e.run_length)
+            for e in expanded] == \
+        [(e.tile_id, e.offset, e.length, e.run_length) for e in entries]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_fold_coalesced_count_matches_builder(data):
+    """_fold_coalesced_count (pass-1 boundary fold) must equal the count
+    the builder actually emits for the same partitioning — including
+    cross-partition run-merge CHAINS through single-entry partitions."""
+    import io
+
+    import numpy as np
+
+    from gpq_tiles_spark.kernels.pmtiles import (
+        DirectoryBuilder,
+        coalesce_runs_arrays,
+    )
+    from gpq_tiles_spark.pipeline import _fold_coalesced_count
+
+    # raw entries designed to produce long same-blob runs that random
+    # partition cuts slice into merge chains
+    n_raw = data.draw(st.integers(min_value=1, max_value=300))
+    tids = np.arange(n_raw, dtype=np.int64) + 5
+    blob = np.zeros(n_raw, dtype=np.int64)
+    pos = 0
+    while pos < n_raw:
+        ln = data.draw(st.integers(min_value=1, max_value=40))
+        blob[pos:pos + ln] = data.draw(st.integers(min_value=0, max_value=3))
+        pos += ln
+    off = blob * 64
+    length = np.full(n_raw, 64, dtype=np.int64)
+
+    cuts = sorted(set(data.draw(
+        st.lists(st.integers(min_value=1, max_value=max(n_raw - 1, 1)),
+                 max_size=12))))
+    bounds = [0] + [c for c in cuts if c < n_raw] + [n_raw]
+
+    stats = []
+    parts = []
+    for cpid, (s, e) in enumerate(zip(bounds, bounds[1:])):
+        if s == e:
+            continue
+        ct, co, cl, cr = coalesce_runs_arrays(tids[s:e], off[s:e],
+                                              length[s:e])
+        parts.append((ct, co, cl, cr))
+        stats.append({
+            "cpid": cpid, "n": len(ct),
+            "first_tid": int(ct[0]), "first_off": int(co[0]),
+            "first_len": int(cl[0]), "first_run": int(cr[0]),
+            "last_tid": int(ct[-1]), "last_off": int(co[-1]),
+            "last_len": int(cl[-1]), "last_run": int(cr[-1]),
+        })
+    folded = _fold_coalesced_count(stats)
+    b = DirectoryBuilder(folded, spill=io.BytesIO())
+    for ct, co, cl, cr in parts:
+        b.add(ct, co, cl, cr)
+    _root, _leaf, emitted = b.finish()  # raises if folded != emitted
+    assert emitted == folded
