@@ -1,12 +1,16 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column operators.
 
 [north-star training-data ops]. Media payloads are opaque ``binary`` columns
 with typed metadata structs; decode / feature-extract / resize / frame-sample
-run as Arrow-batched mapInPandas stages. The actual codec step is STUBBED
-(no image/audio libraries in this container — see the module-level
-``DECODERS`` gate): the Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — is real and tested with the deterministic fake
-decoder.
+run as Arrow-batched mapInPandas stages.
+
+Codecs (round 5): PNG and WAV decode are REAL and dependency-free — PNG
+via stdlib zlib + a numpy unfilter (8-bit gray/RGB/gray-alpha/RGBA,
+non-interlaced, CRC-checked), WAV via the stdlib ``wave`` module (8/16-bit
+PCM, channel-averaged to mono). Other image formats (JPEG/WebP/…) route
+through PIL when installed and raise a clear NotImplementedError otherwise
+(the ``DECODERS`` registry is the pluggable seam); ``_fake_image_decode``
+remains available as a deterministic stand-in for synthetic benchmarks.
 """
 
 from __future__ import annotations
@@ -47,22 +51,158 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _real_image_decode(payload: bytes):  # pragma: no cover
-    raise NotImplementedError(
-        "image decoding requires a codec library (PIL / libvips) that is not "
-        "present in this container; install one and register it in DECODERS"
-    )
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# grayscale weights (ITU-R BT.601, the classic luma transform)
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib PNG decode -> (width, height, float32 grayscale [0,1]).
+
+    Supports the PNG core profile: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced; chunk CRCs are
+    verified. Filters: None/Sub/Up vectorized per scanline (Sub is a
+    per-channel mod-256 cumsum); Average/Paeth take the spec's sequential
+    per-byte recurrence — correct but scalar, fine for the typical
+    filter-0/2 streams most encoders emit for training thumbnails."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} unsupported "
+            "(8-bit non-interlaced only)")
+    n_ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if n_ch is None:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * n_ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftype = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = rows[y, 1:].copy()
+        f = int(ftype[y])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: per-channel mod-256 prefix sum
+            px = line.reshape(w, n_ch)
+            out[y] = np.cumsum(px.astype(np.uint64), axis=0).astype(
+                np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            out[y] = line + prev
+        elif f == 3:  # Average (sequential left-dependency)
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - n_ch]) if x >= n_ch else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential left-dependency)
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - n_ch]) if x >= n_ch else 0
+                b = int(prev[x])
+                c = int(prev[x - n_ch]) if x >= n_ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+    px = out.reshape(h, w, n_ch).astype(np.float32) / 255.0
+    if ctype == 0:
+        gray = px[:, :, 0]
+    elif ctype == 4:
+        gray = px[:, :, 0]  # alpha ignored for the luminance feature
+    else:
+        gray = px[:, :, :3] @ _LUMA
+    return w, h, gray
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Pure-stdlib WAV decode -> (sample_rate, float32 mono [-1, 1]).
+    8-bit unsigned and 16-bit signed PCM; channels averaged to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        rate = wf.getframerate()
+        sw = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported "
+                                  "(8/16-bit PCM only)")
+    if n_ch > 1:
+        arr = arr.reshape(-1, n_ch).mean(axis=1)
+    return rate, arr
+
+
+def _pil_image_decode(payload: bytes):  # pragma: no cover - lib-gated
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return img.width, img.height, arr
+
+
+def _auto_image_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Format dispatch: PNG decodes natively (stdlib); anything else
+    routes through PIL when installed, else raises with the seam named."""
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "non-PNG image decoding requires a codec library (PIL/libvips); "
+            "PNG decodes natively — install a codec and register it in "
+            "DECODERS to cover more formats"
+        ) from None
+    return _pil_image_decode(payload)
 
 
 def _fake_image_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic fake: 'decodes' a payload into an 8x8 grayscale patch
-    derived from its bytes — stable stand-in for tests and benchmarks."""
+    derived from its bytes — stable stand-in for synthetic benchmarks."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     return 8, 8, arr.reshape(8, 8).astype(np.float32) / 255.0
 
 
 DECODERS: dict[str, Callable] = {
-    "image": _fake_image_decode,  # swap for _real_image_decode in production
+    "image": _auto_image_decode,
+    "audio": decode_wav,
 }
 
 
@@ -122,6 +262,54 @@ def image_features(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.select(ref_col, payload_col).mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   ref_col: str = "media_ref",
+                   n_features: int = 16) -> DataFrame:
+    """WAV decode -> fixed-length segment-RMS energy profile, Arrow-batched
+    (DECODERS['audio']; stdlib codec, no dependencies). Each clip splits
+    into ``n_features`` equal segments; the feature is each segment's RMS
+    — the standard cheap energy envelope for dedup/quality filtering of
+    audio training corpora."""
+    decode = DECODERS["audio"]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, rates, ns, feats = [], [], [], []
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                rate, mono = decode(bytes(payload))
+                n = len(mono)
+                if n == 0:
+                    v = np.zeros(n_features, dtype=np.float32)
+                else:
+                    seg = np.array_split(mono.astype(np.float64) ** 2,
+                                         n_features)
+                    v = np.sqrt([s.mean() if len(s) else 0.0 for s in seg]
+                                ).astype(np.float32)
+                refs.append(ref)
+                rates.append(int(rate))
+                ns.append(n)
+                feats.append([float(x) for x in v])
+            yield pd.DataFrame({
+                "media_ref": refs, "sample_rate": rates,
+                "n_samples": ns, "features": feats,
+            })
+
+    return df.select(ref_col, payload_col).mapInPandas(
+        extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, ref_col: str = "media_ref",

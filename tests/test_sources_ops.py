@@ -110,21 +110,25 @@ def test_multimodal_plumbing(spark):
         image_features,
         media_metadata,
     )
+    from tests.test_multimodal_codecs import make_png
 
-    rows = [
-        (f"media/{i:04d}.jpg", "image", bytes(bytearray((i + j) % 256 for j in range(128))))
-        for i in range(20)
-    ]
+    rows = []
+    for i in range(20):
+        px = np.fromfunction(
+            lambda y, x: (x * 16 + y + i) % 256, (12, 16)
+        ).astype(np.uint8)[:, :, None]
+        rows.append((f"media/{i:04d}.png", "image",
+                     make_png(16, 12, px, ctype=0)))
     df = spark.createDataFrame(rows, schema="media_ref string, media_kind string, payload binary")
     meta = media_metadata(df).collect()
     assert len(meta) == 20
-    assert all(m.n_bytes == 128 for m in meta)
     assert len({m.content_hash for m in meta}) == 20
 
+    # REAL PNG decode (stdlib codec) through the Arrow-batched extractor
     feats = image_features(df).collect()
     assert len(feats) == 20
     assert all(len(f.features) == 16 for f in feats)
-    assert all(f.width == 8 and f.height == 8 for f in feats)
+    assert all(f.width == 16 and f.height == 12 for f in feats)
 
     vids = spark.createDataFrame(
         [("v0", 10.0), ("v1", 1.0)], schema="media_ref string, duration_sec double"
