@@ -968,6 +968,63 @@ def _q_tile_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 + X2–X4 + round-5 leaf directories under the ORACLE gate:
+    convert the z8 point corpus to a REAL .pmtiles archive via the sharded
+    sink (the z8 tile count exceeds ROOT_MAX_ENTRIES, so the archive
+    carries spec leaf directories), then decode every tile back OUT of the
+    file — directory lookup, blob decompress, MVT parse — and compare the
+    per-tile feature counts against the pure-SQL z8 assignment. Everything
+    between the scan and the answer (fan-out, shuffle, encode, dedup,
+    compression, directory write incl. leaves, reader) is inside the
+    checked path."""
+    import os
+
+    import pandas as pd
+
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import convert_sharded
+
+    _register(spark, sf_dir)
+    feats = _event_features(spark)
+    cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
+    out = f"/tmp/gpq_contract_archive_{os.path.basename(sf_dir.rstrip('/'))}.pmtiles"
+    convert_sharded(feats, out, cfg)
+
+    from gpq_tiles_spark.kernels.pmtiles import PMTilesReader
+
+    rdr = PMTilesReader(out)
+    # one row per ADDRESSED tile (run-length entries re-expand; dedup runs
+    # share a blob range, and each addressed id must still decode)
+    rows = [
+        (int(e.tile_id) + k, int(e.offset), int(e.length))
+        for e in rdr.entries
+        for k in range(max(e.run_length, 1))
+    ]
+    df = spark.createDataFrame(rows, "tile_id long, off long, len long")
+
+    def dec(batches):
+        from gpq_tiles_spark.kernels import hilbert as Hk
+        from gpq_tiles_spark.kernels.mvt import decode_tile
+        from gpq_tiles_spark.kernels.pmtiles import Header, HEADER_SIZE, decompress
+
+        with open(out, "rb") as f:
+            hdr = Header.from_bytes(f.read(HEADER_SIZE))
+            for pdf in batches:
+                txs, tys, ns = [], [], []
+                for r in pdf.itertuples(index=False):
+                    f.seek(hdr.tile_data_offset + r.off)
+                    raw = decompress(f.read(r.len), hdr.tile_compression)
+                    lay = decode_tile(raw)[0]
+                    _z, x, y = Hk.tile_id_to_zxy(int(r.tile_id))
+                    txs.append(x)
+                    tys.append(y)
+                    ns.append(len(lay["features"]))
+                yield pd.DataFrame({"tx": txs, "ty": tys, "n_points": ns})
+
+    return df.mapInPandas(dec, schema="tx long, ty long, n_points long")
+
+
 def _event_features(spark: SparkSession,
                     extra_cols: dict[str, str] | None = None) -> DataFrame:
     """events -> features DataFrame (points) for pipeline-backed queries.
@@ -1092,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tile_pipeline_z8"] = _q_tile_pipeline
     out["tile_records_z8"] = _q_tile_records_z8
     out["tile_props_z8"] = _q_tile_props
+    out["tile_archive_z8"] = _q_tile_archive
     out["knn_distributed"] = _q_knn_distributed
     out["emb_neardup_pairs"] = _q_emb_neardup
     out["dedup_assignments"] = _q_dedup_assignments
@@ -1110,6 +1168,8 @@ def oracle_sql() -> dict[str, str]:
     # engine-backed query whose result is provably the z8 assignment SQL
     out["tile_records_z8"] = _sql_tile_assign_z8()
     out["tile_props_z8"] = _sql_tile_props_z8()
+    # archive round-trip decodes back to exactly the z8 assignment
+    out["tile_archive_z8"] = _sql_tile_assign_z8()
     out["minhash_neardup"] = _sql_minhash_recall()
     out["knn_distributed"] = _sql_knn_distributed()
     out["emb_neardup_pairs"] = _sql_emb_neardup("duckdb")
