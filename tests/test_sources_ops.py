@@ -217,3 +217,56 @@ def test_checkpointed_equals_plain_convert(spark, docs_table, tmp_path):
     convert_with_checkpoints(spark, docs_table, p2, str(tmp_path / "wd"), cfg)
     with open(p1, "rb") as f1, open(p2, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_iceberg_option_wiring_with_fake_reader(spark):
+    """S10 (runtime jars absent in-container): pin the reader contract —
+    format, snapshot-id / start/end-snapshot-id option names, table, and
+    the (doc_id, spans) projection — against a fake reader chain, so the
+    wiring is asserted without the Iceberg runtime; plus the real-session
+    gate raises the documented error."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from gpq_tiles_spark.sources import iceberg as I
+
+    log = {}
+
+    class FakeDF:
+        def select(self, *cols):
+            log["select"] = cols
+            return self
+
+    class FakeReader:
+        def format(self, f):
+            log["format"] = f
+            return self
+
+        def option(self, k, v):
+            log.setdefault("options", {})[k] = v
+            return self
+
+        def load(self, t):
+            log["table"] = t
+            return FakeDF()
+
+    jvm = SimpleNamespace(org=SimpleNamespace(apache=SimpleNamespace(
+        iceberg=SimpleNamespace(Table=object))))
+    fake = SimpleNamespace(read=FakeReader(), _jvm=jvm)
+
+    I.read_documents(fake, "cat.db.docs", snapshot_id=42)
+    assert log == {"format": "iceberg", "options": {"snapshot-id": "42"},
+                   "table": "cat.db.docs", "select": ("doc_id", "spans")}
+
+    log.clear()
+    I.read_appended_documents(fake, "cat.db.docs", from_snapshot=7,
+                              to_snapshot=9)
+    assert log["options"] == {"start-snapshot-id": "7",
+                              "end-snapshot-id": "9"}
+    assert log["select"] == ("doc_id", "spans")
+
+    # the real in-container session has no runtime: gate must trip clearly
+    if not I.iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+            I.read_documents(spark, "cat.db.docs")
