@@ -988,7 +988,10 @@ def _q_tile_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir)
     feats = _event_features(spark)
     cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
-    out = f"/tmp/gpq_contract_archive_{os.path.basename(sf_dir.rstrip('/'))}.pmtiles"
+    # pid-keyed path: two concurrent harness sessions on one host must not
+    # clobber each other's archive while the lazy decode pass reads it
+    out = (f"/tmp/gpq_contract_archive_"
+           f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}.pmtiles")
     convert_sharded(feats, out, cfg)
 
     from gpq_tiles_spark.kernels.pmtiles import PMTilesReader

@@ -382,7 +382,9 @@ class PMTilesAssembler:
             self.entries.append(DirEntry(tile_id, off, ln, 1))
 
     def finalize(self, path: str) -> Header:
-        entries = coalesce_run_lengths(self.entries)
+        # add_tile coalesces on arrival with coalesce_run_lengths' exact
+        # rule, so self.entries is already the maximal-run form
+        entries = self.entries
         # past ROOT_MAX_ENTRIES the directory splits into spec leaf
         # directories (run_length==0 root pointers into the leaf section)
         # so the root stays ~spec-sized at any tile count; small archives

@@ -76,6 +76,8 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     idat: list[bytes] = []
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG (chunk runs past the payload)")
         data = payload[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
@@ -178,15 +180,22 @@ def _pil_image_decode(payload: bytes):  # pragma: no cover - lib-gated
 
 
 def _auto_image_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Format dispatch: PNG decodes natively (stdlib); anything else
-    routes through PIL when installed, else raises with the seam named."""
+    """Format dispatch: core-profile PNGs decode natively (stdlib);
+    everything else — other formats AND the PNG variants the native codec
+    doesn't cover (palette, 16-bit, interlaced) — routes through PIL when
+    installed, else raises with the seam named."""
+    native_err = None
     if payload[:8] == PNG_MAGIC:
-        return decode_png(payload)
+        try:
+            return decode_png(payload)
+        except NotImplementedError as e:
+            native_err = e  # PNG variant outside the core profile
     try:
         import PIL  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "non-PNG image decoding requires a codec library (PIL/libvips); "
+            f"image decoding requires a codec library (PIL/libvips) for "
+            f"this payload ({native_err or 'non-PNG format'}); core-profile "
             "PNG decodes natively — install a codec and register it in "
             "DECODERS to cover more formats"
         ) from None
@@ -236,9 +245,12 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                    ref_col: str = "media_ref", n_features: int = 16) -> DataFrame:
     """decode -> downsample -> flat feature vector, Arrow-batched.
 
-    The decode callable comes from DECODERS['image'] (fake here; real in
-    production). Batch shape: one numpy (h, w) array per row, feature
-    extraction vectorized per batch."""
+    The decode callable comes from DECODERS['image'] (native PNG / PIL
+    dispatch by default; swap in ``_fake_image_decode`` for synthetic
+    benchmarks). Pooling to the fixed 4x4 grid uses linspace-bucketed row
+    and column slices clamped to at least one pixel, so images smaller
+    than 4px on a side (tracker/spacer thumbnails are common in scraped
+    corpora) produce valid nearest-pixel features instead of NaNs."""
     decode = DECODERS["image"]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,10 +260,17 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                 if payload is None:
                     continue
                 w, h, img = decode(bytes(payload))
-                # resize-by-pooling to a fixed 4x4 grid, then flatten
                 gh, gw = 4, 4
-                pooled = img[: (h // gh) * gh, : (w // gw) * gw]
-                pooled = pooled.reshape(gh, h // gh, gw, w // gw).mean(axis=(1, 3))
+                pooled = np.empty((gh, gw), dtype=np.float32)
+                for i in range(gh):
+                    r0 = i * h // gh
+                    r1 = max((i + 1) * h // gh, r0 + 1)
+                    for j in range(gw):
+                        c0 = j * w // gw
+                        c1 = max((j + 1) * w // gw, c0 + 1)
+                        # r0 < h and r1 <= h hold for any h >= 1 (same for
+                        # columns), so every slice is non-empty
+                        pooled[i, j] = img[r0:r1, c0:c1].mean()
                 v = pooled.reshape(-1).astype(np.float32)
                 refs.append(ref)
                 ws.append(w)

@@ -179,3 +179,58 @@ def test_audio_features_energy_profile(spark):
     assert r.sample_rate == 8000 and r.n_samples == n
     f = np.array(r.features)
     assert np.all(f[:8] < 1e-6) and np.all(f[8:] > 0.99)
+
+
+def test_image_features_tiny_images_no_nan(spark):
+    """Images under 4px a side must yield finite nearest-pixel features,
+    not NaNs from empty pooling slices (round-5 self-review)."""
+    from gpq_tiles_spark.operators.multimodal import image_features
+
+    rng = np.random.default_rng(5)
+    rows = [
+        ("t1.png", bytearray(make_png(1, 1, _rand_px(rng, 1, 1, 1), ctype=0))),
+        ("t2.png", bytearray(make_png(3, 2, _rand_px(rng, 3, 2, 3), ctype=2))),
+        ("t3.png", bytearray(make_png(2, 5, _rand_px(rng, 2, 5, 1), ctype=0))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    feats = image_features(df).collect()
+    assert len(feats) == 3
+    for f in feats:
+        arr = np.array(f.features)
+        assert len(arr) == 16 and np.isfinite(arr).all()
+
+
+def test_png_truncated_raises_valueerror():
+    payload = make_png(6, 6, _rand_px(np.random.default_rng(9), 6, 6, 1),
+                       ctype=0)
+    # cut into the IDAT chunk body (IEND is the trailing 12 bytes): the
+    # chunk header still parses but its data+CRC run past the payload
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(payload[:len(payload) - 15])
+
+
+def test_auto_decode_unsupported_png_variant_names_the_seam():
+    """A PNG outside the native core profile (16-bit) must fall through to
+    the PIL seam — and without PIL, raise naming the codec gap."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit gray
+    raw = bytes(2 * (1 + 2 * 2))  # filter byte + 2px * 2B per row
+    payload = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        w, h, _ = _auto_image_decode(payload)
+        assert (w, h) == (2, 2)
+    else:
+        with pytest.raises(NotImplementedError, match="depth=16"):
+            _auto_image_decode(payload)
