@@ -439,11 +439,21 @@ class PMTilesAssembler:
 
 
 class PMTilesReader:
-    """Minimal reader used by tests and decode_tile parity checks."""
+    """Whole-archive reader (directory eagerly expanded; tile bytes read
+    on demand). The file is memory-MAPPED, not slurped — opening a
+    multi-GB archive costs only the directory decode, and get_tile_bytes
+    touches just the pages of the requested blob. For single-tile access
+    without the full directory expansion, use ``read_tile``."""
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self.data = f.read()
+        import mmap
+
+        self._f = open(path, "rb")
+        try:
+            self.data = mmap.mmap(self._f.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file: mmap rejects it
+            self.data = self._f.read()
         self.header = Header.from_bytes(self.data[:HEADER_SIZE])
         h = self.header
         root = self.data[h.root_dir_offset : h.root_dir_offset + h.root_dir_length]
@@ -474,6 +484,19 @@ class PMTilesReader:
             h.json_metadata_offset : h.json_metadata_offset + h.json_metadata_length
         ]
         self.metadata = json.loads(decompress(meta_raw, h.internal_compression))
+
+    def close(self) -> None:
+        import mmap
+
+        if isinstance(self.data, mmap.mmap):
+            self.data.close()
+        self._f.close()
+
+    def __del__(self):  # pragma: no cover - GC-timing dependent
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def tile_ids(self) -> list[int]:
         out = []
