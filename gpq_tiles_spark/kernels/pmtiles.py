@@ -592,17 +592,23 @@ def _find_entry(entries: list[DirEntry], tid: int) -> DirEntry | None:
 # where a root-only directory would be hundreds of MB).
 ROOT_MAX_ENTRIES = 4096
 LEAF_MIN_ENTRIES = 4096
+# leaf-mode root size target: <= this many run_length==0 pointers. Leaf
+# pointer entries encode ~8-12 bytes raw (large tile_id deltas + leaf
+# lengths), so 1024 keeps the compressed root comfortably under the
+# spec's ~16 KB first-fetch guidance even at 10^8+ coalesced entries
+# (where a 4096-pointer root would compress to ~25 KB).
+ROOT_LEAF_POINTERS_MAX = 1024
 
 
 def plan_leaf_size(n_entries: int) -> int:
     """Entries per leaf for a directory of ``n_entries`` coalesced tile
     entries; 0 means root-only. Deterministic in n_entries alone, so the
     single-writer and distributed finalize paths split identically and
-    stay byte-identical. Leaf count (= root entries) never exceeds
-    ~ROOT_MAX_ENTRIES."""
+    stay byte-identical. Leaf count (= root pointers) never exceeds
+    ROOT_LEAF_POINTERS_MAX."""
     if n_entries <= ROOT_MAX_ENTRIES:
         return 0
-    return max(LEAF_MIN_ENTRIES, -(-n_entries // ROOT_MAX_ENTRIES))
+    return max(LEAF_MIN_ENTRIES, -(-n_entries // ROOT_LEAF_POINTERS_MAX))
 
 
 def encode_leaf(tid, off, length, run) -> bytes:
