@@ -245,3 +245,42 @@ def test_million_entry_finalize_streams_and_stays_bounded(spark, tmp_path):
     # to catch a reintroduced collect(), not to measure.
     assert rss1 - rss0 < 1200, f"driver RSS grew {rss1 - rss0} MiB"
     assert elapsed < 60, f"finalize took {elapsed:.1f}s"
+
+
+def test_full_pipeline_leaf_scale_byte_identical(spark, tmp_path):
+    """Capstone: the REAL pipeline (extract-less point corpus -> fan-out ->
+    shuffle -> encode -> sink) at a tile count past ROOT_MAX_ENTRIES must
+    produce byte-identical single-writer and sharded archives, both in
+    leaf mode, both readable."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.pipeline import convert, convert_sharded
+
+    n = 6000
+    rng = np.random.default_rng(11)
+    lng = rng.uniform(-40.0, 40.0, n)
+    lat = rng.uniform(-40.0, 40.0, n)
+    rows = []
+    from gpq_tiles_spark.kernels import geom as G
+
+    for i in range(n):
+        wkb = G.to_wkb((G.POINT, (float(lng[i]), float(lat[i]))))
+        rows.append((i, str(i), 0, bytearray(wkb), G.POINT,
+                     float(lng[i]), float(lat[i]),
+                     float(lng[i]), float(lat[i])))
+    feats = spark.createDataFrame(
+        rows,
+        "feature_id long, doc_id string, span_offset int, wkb binary, "
+        "geom_type int, lng_min double, lat_min double, lng_max double, "
+        "lat_max double")
+    cfg = TilerConfig(min_zoom=9, max_zoom=9, shuffle_partitions=8)
+    p1 = str(tmp_path / "single_leaf.pmtiles")
+    p2 = str(tmp_path / "sharded_leaf.pmtiles")
+    s1 = convert(feats, p1, cfg)
+    s2 = convert_sharded(feats, p2, cfg)
+    assert s1["tiles"] == s2["tiles"] > ROOT_MAX_ENTRIES
+    a = open(p1, "rb").read()
+    assert a == open(p2, "rb").read()
+    hdr = Header.from_bytes(a[:HEADER_SIZE])
+    assert hdr.leaf_dirs_length > 0
+    r = PMTilesReader(p1)
+    assert len(r.tile_ids()) == s1["tiles"]
