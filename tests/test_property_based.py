@@ -338,3 +338,85 @@ def test_fold_coalesced_count_matches_builder(data):
         b.add(ct, co, cl, cr)
     _root, _leaf, emitted = b.finish()  # raises if folded != emitted
     assert emitted == folded
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_encode_props_tile_invariants(data):
+    """Round 5: the shared property tile encoder must (a) decode back to
+    exactly the live features' filtered props in order, (b) emit a
+    dictionary with no unreferenced entries, and (c) under a byte budget,
+    equal a from-scratch encode of the kept subset (the rebuild step that
+    prunes the dictionary and remaps tag indices)."""
+    from gpq_tiles_spark.kernels.mvt import (
+        _varint,
+        decode_tile,
+        encode_value,
+        feature_properties,
+    )
+    from gpq_tiles_spark.kernels import mvt_fast
+    from gpq_tiles_spark.pipeline import _encode_props_tile
+
+    n = data.draw(st.integers(min_value=1, max_value=12))
+    key_pool = ["alpha", "beta", "gamma", "d"]
+    val_pool = ["x", "yy", 3, 2.5, True, "xx" * 40]
+    fids, msgs, items = [], [], []
+    for i in range(n):
+        fids.append(i * 3 + 1)
+        dead = data.draw(st.booleans()) and i > 0
+        if dead:
+            msgs.append(b"")
+        else:
+            body = mvt_fast._point_feature_bytes(fids[-1], i + 1, 2 * i + 1)
+            msgs.append(b"\x12" + _varint(len(body)) + body)
+        n_props = data.draw(st.integers(min_value=0, max_value=4))
+        if n_props == 0 and data.draw(st.booleans()):
+            items.append(None)
+        else:
+            items.append([
+                {"key": data.draw(st.sampled_from(key_pool)),
+                 "val": encode_value(data.draw(st.sampled_from(val_pool)))}
+                for _ in range(n_props)
+            ])
+    head = b"\x0a\x05tiles"
+    tail = b"\x28\x80\x20\x78\x02"
+    budget = data.draw(st.one_of(
+        st.none(), st.integers(min_value=1, max_value=400)))
+    mvt, n_feat = _encode_props_tile(
+        99, fids, msgs, items, None, head, tail, budget)
+    lay = decode_tile(mvt)[0]
+    live = [i for i in range(n) if msgs[i]]
+    if budget is None:
+        assert n_feat == n
+        assert len(lay["features"]) == len(live)
+        # (a) per-feature decoded props == the encoder's input, in order
+        from gpq_tiles_spark.kernels.mvt import decode_value
+
+        for f, i in zip(lay["features"], live):
+            t = f["tags"]
+            got = [
+                (lay["keys"][ki], decode_value(bytes(lay["values"][vi])))
+                for ki, vi in zip(t[0::2], t[1::2])
+            ]
+            want = [
+                (it["key"], decode_value(bytes(it["val"])))
+                for it in (items[i] or [])
+            ]
+            assert got == want
+        # (b) no unreferenced dictionary entries
+        used_k = {ki for f in lay["features"] for ki in f["tags"][0::2]}
+        used_v = {vi for f in lay["features"] for vi in f["tags"][1::2]}
+        assert used_k == set(range(len(lay["keys"])))
+        assert used_v == set(range(len(lay["values"])))
+    else:
+        # (c) the capped tile equals a clean encode of its kept subset
+        kept_live = []
+        for f in lay["features"]:
+            kept_live.append(f["id"])
+        keep_idx = [i for i in range(n)
+                    if (not msgs[i]) or fids[i] in kept_live]
+        mvt2, n2 = _encode_props_tile(
+            99, [fids[i] for i in keep_idx], [msgs[i] for i in keep_idx],
+            [items[i] for i in keep_idx], None, head, tail, None)
+        assert mvt2 == mvt
+        assert n2 == n_feat
