@@ -110,6 +110,8 @@ def main() -> None:
 
     if scaling:
         result["scaling"] = run_scaling()
+    if "--scaling-props" in sys.argv:
+        result["scaling_props"] = run_scaling(with_props=True)
     if "--adm4" in sys.argv:
         result["adm4_anchor"] = run_adm4_anchor(cpus)
     if "--adm4-props" in sys.argv:
@@ -396,11 +398,20 @@ def _scaling_fixture(n_docs: int = 100_000) -> str:
     return path
 
 
-def run_scaling(max_zoom: int = 12) -> dict:
+def run_scaling(max_zoom: int = 12, with_props: bool = False) -> dict:
     """The north-rule N->4N criterion, sandbox substitution (BASELINE.md):
     the identical interleaved-document tiling job (extract -> fan-out ->
     range shuffle -> MVT encode) at local[2] vs local[8], throughput at
     both + efficiency = (thr_hi / thr_lo) / (8 / 2).
+
+    ``with_props=True`` (--scaling-props) serializes two derived tag
+    columns into every feature and measures the layout ``premerge="auto"``
+    actually selects for this TINY-GEOMETRY corpus: the WKB-shuffling
+    props path (join + tag interning). The premerge-props layout is the
+    vertex-dense scale path (see the --adm4-props anchor, ~+5% there);
+    forcing it onto this corpus measures a layout the engine's auto rule
+    refuses — that number is recorded in BENCH.md as a disclosure, not a
+    gate.
 
     Pairing rationale (measured, see BENCH.md): every Spark task thread is
     paired with a Python (Arrow UDF) worker, so local[K] keeps 2K processes
@@ -414,10 +425,32 @@ def run_scaling(max_zoom: int = 12) -> dict:
 
     from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.extract import extract_features
-    from gpq_tiles_spark.pipeline import encode_tiles_premerge
+    from gpq_tiles_spark.pipeline import (
+        encode_props_column,
+        encode_tiles_premerge,
+        encode_tiles_premerge_props,
+    )
 
     def pipeline(docs, cfg):
-        return encode_tiles_premerge(extract_features(docs), cfg)
+        feats = extract_features(docs)
+        if not with_props:
+            return encode_tiles_premerge(feats, cfg)
+        featp = encode_props_column(
+            feats.withColumn("src", F.concat(F.lit("doc-"), F.col("doc_id")))
+            .withColumn("rank", (F.col("feature_id") % 1000).cast("long")),
+            ["src", "rank"],
+        )
+        # the auto-selected layout for this tiny-geometry corpus: WKB
+        # records + props join (premerge-props is the vertex-dense path)
+        from gpq_tiles_spark.pipeline import (
+            encode_tiles_with_props,
+            fanout_records,
+        )
+
+        records = fanout_records(featp, cfg)
+        return encode_tiles_with_props(
+            records, featp.select("feature_id", "props"), cfg,
+            by_range=False)
 
     docs_path = _scaling_fixture()
     eff = {}
@@ -455,7 +488,10 @@ def run_scaling(max_zoom: int = 12) -> dict:
     thr_lo = eff[2]["records_per_sec"]
     thr_hi = eff[8]["records_per_sec"]
     return {
-        "workload": f"interleaved-docs 100k, z0-{max_zoom} pyramid, steady-state",
+        "workload": (f"interleaved-docs 100k, z0-{max_zoom} pyramid, "
+                     "steady-state"
+                     + (", 2 property tags/feature (premerge-props)"
+                        if with_props else "")),
         "local2": eff[2],
         "local8": eff[8],
         "efficiency": round((thr_hi / thr_lo) / (8 / 2), 4) if thr_lo else None,
