@@ -977,7 +977,10 @@ def _q_tile_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-tile feature counts against the pure-SQL z8 assignment. Everything
     between the scan and the answer (fan-out, shuffle, encode, dedup,
     compression, directory write incl. leaves, reader) is inside the
-    checked path."""
+    checked path. (The decode pass opens the driver-written /tmp archive
+    from executors — valid under the local[*] master this contract runs
+    on; a real cluster would point convert_sharded at shared storage, the
+    same constraint its shard_dir already enforces.)"""
     import os
 
     import pandas as pd
