@@ -428,7 +428,8 @@ def run_scaling(max_zoom: int = 12, with_props: bool = False) -> dict:
     from gpq_tiles_spark.pipeline import (
         encode_props_column,
         encode_tiles_premerge,
-        encode_tiles_premerge_props,
+        encode_tiles_with_props,
+        fanout_records,
     )
 
     def pipeline(docs, cfg):
@@ -442,11 +443,6 @@ def run_scaling(max_zoom: int = 12, with_props: bool = False) -> dict:
         )
         # the auto-selected layout for this tiny-geometry corpus: WKB
         # records + props join (premerge-props is the vertex-dense path)
-        from gpq_tiles_spark.pipeline import (
-            encode_tiles_with_props,
-            fanout_records,
-        )
-
         records = fanout_records(featp, cfg)
         return encode_tiles_with_props(
             records, featp.select("feature_id", "props"), cfg,
@@ -490,8 +486,8 @@ def run_scaling(max_zoom: int = 12, with_props: bool = False) -> dict:
     return {
         "workload": (f"interleaved-docs 100k, z0-{max_zoom} pyramid, "
                      "steady-state"
-                     + (", 2 property tags/feature (premerge-props)"
-                        if with_props else "")),
+                     + (", 2 property tags/feature (auto layout: WKB "
+                        "records + props join)" if with_props else "")),
         "local2": eff[2],
         "local8": eff[8],
         "efficiency": round((thr_hi / thr_lo) / (8 / 2), 4) if thr_lo else None,

@@ -452,7 +452,10 @@ class PMTilesReader:
         try:
             self.data = mmap.mmap(self._f.fileno(), 0,
                                   access=mmap.ACCESS_READ)
-        except ValueError:  # zero-length file: mmap rejects it
+        except (ValueError, OSError):
+            # zero-length files (mmap rejects them) and filesystems
+            # without mmap support (some FUSE/network mounts raise
+            # ENODEV): fall back to the plain read
             self.data = self._f.read()
         self.header = Header.from_bytes(self.data[:HEADER_SIZE])
         h = self.header

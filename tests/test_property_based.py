@@ -348,12 +348,7 @@ def test_encode_props_tile_invariants(data):
     dictionary with no unreferenced entries, and (c) under a byte budget,
     equal a from-scratch encode of the kept subset (the rebuild step that
     prunes the dictionary and remaps tag indices)."""
-    from gpq_tiles_spark.kernels.mvt import (
-        _varint,
-        decode_tile,
-        encode_value,
-        feature_properties,
-    )
+    from gpq_tiles_spark.kernels.mvt import _varint, decode_tile, encode_value
     from gpq_tiles_spark.kernels import mvt_fast
     from gpq_tiles_spark.pipeline import _encode_props_tile
 
@@ -378,8 +373,7 @@ def test_encode_props_tile_invariants(data):
                  "val": encode_value(data.draw(st.sampled_from(val_pool)))}
                 for _ in range(n_props)
             ])
-    head = b"\x0a\x05tiles"
-    tail = b"\x28\x80\x20\x78\x02"
+    head, tail = mvt_fast.layer_head_tail("tiles", 4096)
     budget = data.draw(st.one_of(
         st.none(), st.integers(min_value=1, max_value=400)))
     mvt, n_feat = _encode_props_tile(
