@@ -1004,7 +1004,7 @@ def _q_tile_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share a blob range, and each addressed id must still decode)
     rows = [
         (int(e.tile_id) + k, int(e.offset), int(e.length))
-        for e in rdr.entries
+        for e in rdr.iter_entries()  # lazy: one decoded leaf at a time
         for k in range(max(e.run_length, 1))
     ]
     df = spark.createDataFrame(rows, "tile_id long, off long, len long")

@@ -154,6 +154,7 @@ def convert_with_checkpoints(spark: SparkSession, docs_path: str, output_path: s
         asm = P.PMTilesAssembler(
             tile_compression=codec, layer_name=config.layer_name,
             min_zoom=config.min_zoom, max_zoom=config.max_zoom,
+            leaf_max_entries=config.leaf_max_entries,
         )
         # header bounds come from the extracted features (same as
         # pipeline.convert); without this the sentinel [180,90,-180,-90]

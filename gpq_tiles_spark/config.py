@@ -46,6 +46,16 @@ class TilerConfig:
     # surface in PipelineMetrics. None = unlimited, tippecanoe's
     # --no-tile-size-limit behavior (the golden fixtures' flags).
     max_tile_bytes: int | None = None
+    # leaf-directory granularity escape hatch: target ENTRIES PER LEAF once
+    # the archive directory goes two-level (> kernels.pmtiles.
+    # ROOT_MAX_ENTRIES coalesced entries). None keeps the built-in plan
+    # (leaves of max(4096, n/1024)); smaller values give finer leaves for
+    # CDN range-request patterns (each tile lookup fetches one leaf). The
+    # root pointer count stays capped regardless (plan_leaf_size clamps),
+    # and the root-only threshold is unaffected — small archives keep the
+    # exact bytes of previous rounds. Both finalize paths read this same
+    # value, so single-writer/distributed byte parity holds at any setting.
+    leaf_max_entries: int | None = None
     shuffle_partitions: int | None = None  # None -> leave session conf alone
     hot_tile_threshold: int = 200_000  # features per tile before salted two-phase encode
     salt_buckets: int = 16
@@ -61,4 +71,6 @@ class TilerConfig:
             raise ValueError(f"unsupported simplification {self.simplification!r}")
         if self.max_tile_bytes is not None and self.max_tile_bytes <= 0:
             raise ValueError("max_tile_bytes must be positive or None")
+        if self.leaf_max_entries is not None and self.leaf_max_entries < 16:
+            raise ValueError("leaf_max_entries must be >= 16 or None")
         return self

@@ -317,8 +317,10 @@ class PMTilesAssembler:
 
     def __init__(self, tile_compression: int = COMPRESSION_GZIP,
                  layer_name: str = "features", min_zoom: int = 0, max_zoom: int = 14,
-                 fields: dict[str, str] | None = None):
+                 fields: dict[str, str] | None = None,
+                 leaf_max_entries: int | None = None):
         self.tile_compression = tile_compression
+        self.leaf_max_entries = leaf_max_entries
         self.layer_name = layer_name
         self.min_zoom_cfg = min_zoom
         self.max_zoom_cfg = max_zoom
@@ -389,7 +391,8 @@ class PMTilesAssembler:
         # directories (run_length==0 root pointers into the leaf section)
         # so the root stays ~spec-sized at any tile count; small archives
         # keep the exact root-only bytes of previous rounds
-        root_raw, leaf_section, n_ent = build_directories(entries)
+        root_raw, leaf_section, n_ent = build_directories(
+            entries, leaf_max_entries=self.leaf_max_entries)
         root_dir = compress(root_raw, COMPRESSION_GZIP)
         tilestats = {
             "total_features": self.total_features,
@@ -439,11 +442,19 @@ class PMTilesAssembler:
 
 
 class PMTilesReader:
-    """Whole-archive reader (directory eagerly expanded; tile bytes read
-    on demand). The file is memory-MAPPED, not slurped — opening a
-    multi-GB archive costs only the directory decode, and get_tile_bytes
-    touches just the pages of the requested blob. For single-tile access
-    without the full directory expansion, use ``read_tile``."""
+    """Lazy two-level archive reader, scale-symmetric with the
+    leaf-directory WRITER (DirectoryBuilder): only the ROOT directory is
+    decoded at open, so a 10^8-entry archive opens at O(root) — never an
+    O(tiles) driver-side structure. Leaf directories (root entries with
+    run_length==0, per the PMTiles v3 spec and the reference reader's
+    two-level contract, pipeline.rs:1762+) are decoded on demand through a
+    small LRU, and get_tile_bytes binary-searches root then leaf: one
+    lookup is O(log root + log leaf) plus at most one leaf decompress on a
+    cache miss. The file is memory-MAPPED, not slurped — get_tile_bytes
+    touches just the pages of the requested blob. For one-shot single-tile
+    access without constructing a reader, use ``read_tile``."""
+
+    _LEAF_CACHE_MAX = 32  # decoded leaves kept; ~4K entries each
 
     def __init__(self, path: str):
         import mmap
@@ -460,29 +471,11 @@ class PMTilesReader:
         self.header = Header.from_bytes(self.data[:HEADER_SIZE])
         h = self.header
         root = self.data[h.root_dir_offset : h.root_dir_offset + h.root_dir_length]
-        self.entries = decode_directory(decompress(root, h.internal_compression))
-        # foreign archives may use leaf directories (root run_length==0
-        # entries pointing into the leaf section): expand them so
-        # tile_ids()/get_tile_bytes() agree with read_tile on the same file
-        if any(e.run_length == 0 for e in self.entries):
-            expanded: list[DirEntry] = []
-            for e in self.entries:
-                if e.run_length != 0:
-                    expanded.append(e)
-                    continue
-                leaf_raw = self.data[
-                    h.leaf_dirs_offset + e.offset
-                    : h.leaf_dirs_offset + e.offset + e.length
-                ]
-                leaf = decode_directory(
-                    decompress(leaf_raw, h.internal_compression)
-                )
-                if any(le.run_length == 0 for le in leaf):
-                    raise ValueError(
-                        "nested leaf directories are not valid PMTiles v3"
-                    )
-                expanded.extend(leaf)
-            self.entries = expanded
+        self._root = decode_directory(decompress(root, h.internal_compression))
+        self._root_ids = [e.tile_id for e in self._root]
+        # (offset, length) -> (entries, tile_ids); insertion-ordered LRU
+        self._leaf_cache: dict[tuple[int, int],
+                               tuple[list[DirEntry], list[int]]] = {}
         meta_raw = self.data[
             h.json_metadata_offset : h.json_metadata_offset + h.json_metadata_length
         ]
@@ -501,20 +494,72 @@ class PMTilesReader:
         except Exception:
             pass
 
+    def _leaf(self, offset: int, length: int
+              ) -> tuple[list[DirEntry], list[int]]:
+        """Decode (or fetch from the LRU) the leaf directory at the given
+        leaf-section-relative range. Raises on nested leaves (spec limits
+        directories to two levels)."""
+        key = (offset, length)
+        hit = self._leaf_cache.pop(key, None)
+        if hit is None:
+            h = self.header
+            raw = self.data[
+                h.leaf_dirs_offset + offset
+                : h.leaf_dirs_offset + offset + length
+            ]
+            leaf = decode_directory(decompress(raw, h.internal_compression))
+            if any(le.run_length == 0 for le in leaf):
+                raise ValueError(
+                    "nested leaf directories are not valid PMTiles v3"
+                )
+            hit = (leaf, [le.tile_id for le in leaf])
+        self._leaf_cache[key] = hit  # (re-)insert as most recent
+        if len(self._leaf_cache) > self._LEAF_CACHE_MAX:
+            self._leaf_cache.pop(next(iter(self._leaf_cache)))
+        return hit
+
+    def iter_entries(self):
+        """Stream fully-resolved tile entries in tile_id order, decoding
+        leaf directories one at a time — O(one leaf) memory regardless of
+        archive size. Scale callers iterate this instead of ``entries``."""
+        for e in self._root:
+            if e.run_length != 0:
+                yield e
+            else:
+                leaf, _ids = self._leaf(e.offset, e.length)
+                yield from leaf
+
+    @property
+    def entries(self) -> list[DirEntry]:
+        """Fully-expanded entry list (leaf pointers resolved). This
+        MATERIALIZES O(tiles) — fine for small archives and tests; at
+        scale use ``iter_entries()`` / ``get_tile_bytes`` instead."""
+        return list(self.iter_entries())
+
     def tile_ids(self) -> list[int]:
-        out = []
-        for e in self.entries:
-            for k in range(max(e.run_length, 1)):
-                out.append(e.tile_id + k)
+        out: list[int] = []
+        for e in self.iter_entries():
+            out.extend(range(e.tile_id, e.tile_id + max(e.run_length, 1)))
         return out
 
+    def _locate(self, tile_id: int) -> DirEntry | None:
+        """Binary-search root (and one leaf, decoded lazily) for the data
+        entry covering ``tile_id``."""
+        e = _bisect_entry(self._root, self._root_ids, tile_id)
+        if e is None:
+            return None
+        if e.run_length == 0:
+            leaf, ids = self._leaf(e.offset, e.length)
+            e = _bisect_entry(leaf, ids, tile_id)
+        return e
+
     def get_tile_bytes(self, tile_id: int) -> bytes | None:
-        for e in self.entries:
-            if e.tile_id <= tile_id < e.tile_id + max(e.run_length, 1):
-                start = self.header.tile_data_offset + e.offset
-                raw = self.data[start : start + e.length]
-                return decompress(raw, self.header.tile_compression)
-        return None
+        e = self._locate(tile_id)
+        if e is None:
+            return None
+        start = self.header.tile_data_offset + e.offset
+        raw = self.data[start : start + e.length]
+        return decompress(raw, self.header.tile_compression)
 
 
 def read_tile(path: str, z: int, x: int, y: int,
@@ -562,15 +607,16 @@ def read_tile(path: str, z: int, x: int, y: int,
     return _decode(raw) if decode else raw
 
 
-def _find_entry(entries: list[DirEntry], tid: int) -> DirEntry | None:
-    """Binary-search a sorted directory for the entry covering ``tid``.
+def _bisect_entry(entries: list[DirEntry], ids: list[int],
+                  tid: int) -> DirEntry | None:
+    """Binary-search a sorted directory (``ids`` = precomputed tile_id
+    keys) for the entry covering ``tid``.
 
     run_length==0 entries (leaf pointers) cover [tile_id, next entry's
     tile_id); run_length>=1 entries cover their run (spec directory search,
     same contract as the reference reader pipeline.rs:1762+)."""
     import bisect
 
-    ids = [e.tile_id for e in entries]
     i = bisect.bisect_right(ids, tid) - 1
     if i < 0:
         return None
@@ -580,6 +626,12 @@ def _find_entry(entries: list[DirEntry], tid: int) -> DirEntry | None:
     if e.tile_id <= tid < e.tile_id + e.run_length:
         return e
     return None
+
+
+def _find_entry(entries: list[DirEntry], tid: int) -> DirEntry | None:
+    """One-shot variant of ``_bisect_entry`` (computes the key list;
+    repeated-lookup callers like PMTilesReader cache the keys instead)."""
+    return _bisect_entry(entries, [e.tile_id for e in entries], tid)
 
 
 # ---------------------------------------------------------------------------
@@ -603,15 +655,22 @@ LEAF_MIN_ENTRIES = 4096
 ROOT_LEAF_POINTERS_MAX = 1024
 
 
-def plan_leaf_size(n_entries: int) -> int:
+def plan_leaf_size(n_entries: int, leaf_max_entries: int | None = None
+                   ) -> int:
     """Entries per leaf for a directory of ``n_entries`` coalesced tile
-    entries; 0 means root-only. Deterministic in n_entries alone, so the
-    single-writer and distributed finalize paths split identically and
-    stay byte-identical. Leaf count (= root pointers) never exceeds
-    ROOT_LEAF_POINTERS_MAX."""
+    entries; 0 means root-only. Deterministic in its INPUTS alone, so the
+    single-writer and distributed finalize paths (which read the same
+    TilerConfig) split identically and stay byte-identical. Leaf count
+    (= root pointers) never exceeds ROOT_LEAF_POINTERS_MAX.
+
+    ``leaf_max_entries`` (TilerConfig escape hatch) replaces the built-in
+    LEAF_MIN_ENTRIES target so operators can pick finer leaves for CDN
+    range-request patterns; the root-pointer clamp still wins when the
+    archive is large enough that honoring it would blow up the root."""
     if n_entries <= ROOT_MAX_ENTRIES:
         return 0
-    return max(LEAF_MIN_ENTRIES, -(-n_entries // ROOT_LEAF_POINTERS_MAX))
+    target = LEAF_MIN_ENTRIES if leaf_max_entries is None else int(leaf_max_entries)
+    return max(target, -(-n_entries // ROOT_LEAF_POINTERS_MAX))
 
 
 def encode_leaf(tid, off, length, run) -> bytes:
@@ -645,9 +704,9 @@ class DirectoryBuilder:
 
     def __init__(self, n_entries: int,
                  internal_compression: int = COMPRESSION_GZIP,
-                 spill=None):
+                 spill=None, leaf_max_entries: int | None = None):
         self.n_declared = int(n_entries)
-        self.leaf_size = plan_leaf_size(self.n_declared)
+        self.leaf_size = plan_leaf_size(self.n_declared, leaf_max_entries)
         self.codec = internal_compression
         self._held: tuple[int, int, int, int] | None = None
         self.n_written = 0
@@ -787,12 +846,14 @@ class _BytesSink:
 
 def build_directories(entries: list[DirEntry],
                       internal_compression: int = COMPRESSION_GZIP,
+                      leaf_max_entries: int | None = None,
                       ) -> tuple[bytes, bytes, int]:
     """Coalesced entry list -> (root bytes uncompressed, leaf section
     bytes, tile entry count). Root-only under ROOT_MAX_ENTRIES (bytes
     identical to encode_directory); leaf layout above it."""
     n = len(entries)
-    b = DirectoryBuilder(n, internal_compression)
+    b = DirectoryBuilder(n, internal_compression,
+                         leaf_max_entries=leaf_max_entries)
     if n:
         b.add(
             np.fromiter((e.tile_id for e in entries), np.int64, n),

@@ -2125,7 +2125,9 @@ def _make_dir_chunk_encoder():
     return enc
 
 
-def _assemble_directory_stream(ent: DataFrame, spill) -> tuple[bytes, int, int]:
+def _assemble_directory_stream(ent: DataFrame, spill,
+                               leaf_max_entries: int | None = None,
+                               ) -> tuple[bytes, int, int]:
     """Driver-side directory assembly over range-partitioned, sorted
     (tile_id, off, len) entry rows: executors run-coalesce per partition
     (_make_dir_chunk_encoder); the driver collects O(partitions) boundary
@@ -2146,31 +2148,37 @@ def _assemble_directory_stream(ent: DataFrame, spill) -> tuple[bytes, int, int]:
         "cpid", F.spark_partition_id()
     ).mapInPandas(_make_dir_chunk_encoder(), schema=DIR_CHUNK_SCHEMA
                   ).persist(StorageLevel.DISK_ONLY)
-    stats = sorted(chunks.select(*_DIR_CHUNK_STATS_COLS).collect(),
-                   key=lambda r: r["cpid"])
-    n_declared = _fold_coalesced_count(stats)
-    builder = P.DirectoryBuilder(n_declared, P.COMPRESSION_GZIP, spill=spill)
-    prev_cpid = -1
-    for r in chunks.select("cpid", "tid_b", "off_b", "len_b", "run_b"
-                           ).toLocalIterator(prefetchPartitions=True):
-        cpid = int(r["cpid"])
-        if cpid <= prev_cpid:
-            # a mis-ordered stream would write a mis-sorted directory that
-            # readers silently resolve wrong — fail loudly (a bare assert
-            # would vanish under python -O)
-            raise RuntimeError(
-                f"directory chunks out of range order ({cpid} after "
-                f"{prev_cpid})")
-        prev_cpid = cpid
-        builder.add(
-            np.frombuffer(bytes(r["tid_b"]), dtype=np.int64),
-            np.frombuffer(bytes(r["off_b"]), dtype=np.int64),
-            np.frombuffer(bytes(r["len_b"]), dtype=np.int64),
-            np.frombuffer(bytes(r["run_b"]), dtype=np.int64),
-        )
-    root_raw, _, n_coalesced = builder.finish()
-    leaf_len = builder.leaf_length
-    chunks.unpersist()
+    try:
+        stats = sorted(chunks.select(*_DIR_CHUNK_STATS_COLS).collect(),
+                       key=lambda r: r["cpid"])
+        n_declared = _fold_coalesced_count(stats)
+        builder = P.DirectoryBuilder(n_declared, P.COMPRESSION_GZIP,
+                                     spill=spill,
+                                     leaf_max_entries=leaf_max_entries)
+        prev_cpid = -1
+        for r in chunks.select("cpid", "tid_b", "off_b", "len_b", "run_b"
+                               ).toLocalIterator(prefetchPartitions=True):
+            cpid = int(r["cpid"])
+            if cpid <= prev_cpid:
+                # a mis-ordered stream would write a mis-sorted directory
+                # that readers silently resolve wrong — fail loudly (a bare
+                # assert would vanish under python -O)
+                raise RuntimeError(
+                    f"directory chunks out of range order ({cpid} after "
+                    f"{prev_cpid})")
+            prev_cpid = cpid
+            builder.add(
+                np.frombuffer(bytes(r["tid_b"]), dtype=np.int64),
+                np.frombuffer(bytes(r["off_b"]), dtype=np.int64),
+                np.frombuffer(bytes(r["len_b"]), dtype=np.int64),
+                np.frombuffer(bytes(r["run_b"]), dtype=np.int64),
+            )
+        root_raw, _, n_coalesced = builder.finish()
+        leaf_len = builder.leaf_length
+    finally:
+        # unpersist even when the stream or count-declare raises — leaked
+        # DISK_ONLY chunk blocks would otherwise pin storage for the session
+        chunks.unpersist()
     return root_raw, n_coalesced, leaf_len
 
 
@@ -2396,7 +2404,8 @@ def _finalize_sharded_distributed(entries_df: DataFrame,
         leaf_tmp = tempfile.TemporaryFile()
         try:
             root_dir_bytes, n_coalesced, leaf_len = \
-                _assemble_directory_stream(ent, leaf_tmp)
+                _assemble_directory_stream(ent, leaf_tmp,
+                                           config.leaf_max_entries)
         except BaseException:
             leaf_tmp.close()  # a failed finalize must not leak the spill fd
             raise
@@ -2687,7 +2696,8 @@ def convert_sharded(features: DataFrame, output_path: str,
         zoom_seen.append(r.z)
 
     coalesced = P.coalesce_run_lengths(entries)
-    root_raw, leaf_section, n_ent = P.build_directories(coalesced)
+    root_raw, leaf_section, n_ent = P.build_directories(
+        coalesced, leaf_max_entries=config.leaf_max_entries)
     root_dir = P.compress(root_raw, P.COMPRESSION_GZIP)
     tilestats = {
         "total_features": total_features,
@@ -2866,6 +2876,7 @@ def convert(features: DataFrame, output_path: str, config: TilerConfig | None = 
         min_zoom=config.min_zoom,
         max_zoom=config.max_zoom,
         fields=config.layer_fields,
+        leaf_max_entries=config.leaf_max_entries,
     )
     # fan-out phase progress: the fan-out executes lazily while the tile
     # stream below drains, so poll the accumulators from a driver thread

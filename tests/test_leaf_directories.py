@@ -132,6 +132,69 @@ def test_leaf_archive_roundtrips_both_readers(leaf_archive):
     assert read_tile(path, *absent_zxy) is None
 
 
+def test_reader_is_lazy_on_leaf_archives(leaf_archive):
+    """Round-6 scale symmetry: opening a leaf archive decodes ONLY the
+    root (O(root), never O(tiles)); leaves resolve on demand through the
+    LRU and get_tile_bytes binary-searches root then leaf."""
+    path, tiles = leaf_archive
+    rdr = PMTilesReader(path)
+    # open touched no leaf: the root is all leaf pointers, cache empty
+    assert all(e.run_length == 0 for e in rdr._root)
+    assert rdr._leaf_cache == {}
+    # one lookup decodes exactly one leaf
+    tid0, z, x, y, mvt0, _h = tiles[0]
+    assert rdr.get_tile_bytes(tid0) == mvt0
+    assert len(rdr._leaf_cache) == 1
+    # a lookup in the same leaf is a cache hit, not a second decode
+    tid1 = tiles[1][0]
+    assert rdr.get_tile_bytes(tid1) == tiles[1][4]
+    assert len(rdr._leaf_cache) == 1
+    # a lookup in the LAST leaf decodes a second one
+    tidN, _z, _x, _y, mvtN, _h = tiles[-1]
+    assert rdr.get_tile_bytes(tidN) == mvtN
+    assert len(rdr._leaf_cache) == 2
+    # absent ids (inside the range but unaddressed, and past the end)
+    present = {t[0] for t in tiles}
+    gap = next(t for t in range(tiles[0][0], tiles[-1][0])
+               if t not in present)
+    assert rdr.get_tile_bytes(gap) is None
+    assert rdr.get_tile_bytes(tiles[-1][0] + 10_000) is None
+    rdr.close()
+
+
+def test_reader_every_tile_via_binary_search(leaf_archive):
+    """get_tile_bytes must return the right blob for EVERY tile across
+    leaf boundaries (bisect correctness), and iter_entries must stream
+    the same expansion tile_ids() materializes."""
+    path, tiles = leaf_archive
+    rdr = PMTilesReader(path)
+    for tid, _z, _x, _y, mvt, _h in tiles:
+        assert rdr.get_tile_bytes(tid) == mvt
+    assert rdr.tile_ids() == sorted(t[0] for t in tiles)
+    assert [e.tile_id for e in rdr.iter_entries()] == [
+        e.tile_id for e in rdr.entries]
+    rdr.close()
+
+
+def test_reader_leaf_cache_is_bounded(leaf_archive, monkeypatch):
+    """The leaf LRU never exceeds its cap: probing one tile per leaf with
+    a cap of 1 keeps at most 1 decoded leaf resident."""
+    path, tiles = leaf_archive
+    rdr = PMTilesReader(path)
+    monkeypatch.setattr(PMTilesReader, "_LEAF_CACHE_MAX", 1)
+    leaf_starts = [e.tile_id for e in rdr._root]
+    assert len(leaf_starts) >= 2
+    for tid in leaf_starts:
+        assert rdr.get_tile_bytes(tid) is not None
+        assert len(rdr._leaf_cache) <= 1
+    # most-recently-used leaf survives; the first one was evicted
+    keys = list(rdr._leaf_cache)
+    last = rdr._root[-1]
+    assert keys[-1] == (last.offset, last.length)
+    assert (rdr._root[0].offset, rdr._root[0].length) not in rdr._leaf_cache
+    rdr.close()
+
+
 def test_leaf_small_archive_bytes_unchanged(tmp_path):
     """At <= ROOT_MAX_ENTRIES entries the archive must stay root-only —
     byte-identical layout to previous rounds (no leaf section)."""
@@ -145,6 +208,73 @@ def test_leaf_small_archive_bytes_unchanged(tmp_path):
     assert hdr.leaf_dirs_offset == 0 and hdr.leaf_dirs_length == 0
     assert hdr.tile_data_offset == (
         hdr.json_metadata_offset + hdr.json_metadata_length)
+
+
+def test_leaf_max_entries_knob(tmp_path):
+    """TilerConfig.leaf_max_entries (round-6 escape hatch): finer leaves
+    on request, root pointer clamp still wins, root-only threshold and
+    default plan unchanged, archives stay readable at any setting."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.kernels.pmtiles import (ROOT_LEAF_POINTERS_MAX,
+                                                 plan_leaf_size)
+
+    # planner semantics
+    assert plan_leaf_size(100, leaf_max_entries=64) == 0  # root-only wins
+    assert plan_leaf_size(N_LEAF) == plan_leaf_size(N_LEAF, None)
+    assert plan_leaf_size(N_LEAF, leaf_max_entries=512) == 512
+    # clamp: honoring a tiny leaf at huge n would blow up the root
+    big = 10_000_000
+    assert plan_leaf_size(big, leaf_max_entries=512) == -(
+        -big // ROOT_LEAF_POINTERS_MAX)
+    # config validation
+    with pytest.raises(ValueError):
+        TilerConfig(leaf_max_entries=4).validate()
+    TilerConfig(leaf_max_entries=512).validate()
+
+    # a real archive with finer leaves: more root pointers, same tiles
+    tiles = _make_tiles(N_LEAF)
+    path = str(tmp_path / "fine.pmtiles")
+    asm = PMTilesAssembler(layer_name="features", min_zoom=0, max_zoom=8,
+                           leaf_max_entries=512)
+    for tid, z, x, y, mvt, h in tiles:
+        asm.add_tile(tid, z, mvt, h, 1)
+    asm.finalize(path)
+    rdr = PMTilesReader(path)
+    assert len(rdr._root) == -(-N_LEAF // 512)  # one pointer per 512-leaf
+    for idx in (0, 511, 512, N_LEAF - 1):
+        tid, z, x, y, mvt, _h = tiles[idx]
+        assert rdr.get_tile_bytes(tid) == mvt
+        assert read_tile(path, z, x, y) == mvt
+    assert len(rdr.tile_ids()) == N_LEAF
+    rdr.close()
+
+
+def test_leaf_max_entries_byte_parity_across_finalize_paths(
+        spark, tmp_path):
+    """Single-writer and distributed finalize must stay byte-identical
+    when the knob moves the split."""
+    from gpq_tiles_spark.config import TilerConfig
+    from gpq_tiles_spark.kernels.pmtiles import COMPRESSION_GZIP, compress
+    from gpq_tiles_spark.pipeline import _finalize_sharded_distributed
+
+    tiles = _make_tiles(N_LEAF)
+    single = str(tmp_path / "single.pmtiles")
+    asm = PMTilesAssembler(layer_name="features", min_zoom=0, max_zoom=8,
+                           leaf_max_entries=1000)
+    for tid, z, x, y, mvt, h in tiles:
+        asm.add_tile(tid, z, mvt, h, 1)
+    asm.bounds = [-10.0, -10.0, 10.0, 10.0]
+    asm.finalize(single)
+    shard_dir = str(tmp_path / "shards")
+    ent = _synthetic_entries(
+        spark, tiles, shard_dir, lambda m: compress(m, COMPRESSION_GZIP))
+    out = str(tmp_path / "dist.pmtiles")
+    cfg = TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=8,
+                      leaf_max_entries=1000)
+    _finalize_sharded_distributed(
+        ent, out, shard_dir, (-10.0, -10.0, 10.0, 10.0), cfg,
+        COMPRESSION_GZIP)
+    assert open(single, "rb").read() == open(out, "rb").read()
 
 
 def _synthetic_entries(spark, tiles, shard_dir, codec_blobs):
