@@ -1547,68 +1547,78 @@ def encode_props_column(df: DataFrame, cols: list[str],
     encoded entries are gathered per row — the per-row scalar .iloc loop
     the round-4 review flagged is gone; work is O(distinct x cols +
     rows)."""
-    from .kernels.mvt import encode_value
-
     kinds = prop_kinds(df, cols)
     schema = StructType(
         [f for f in df.schema.fields] + [StructField(out_col, PROPS_FIELD_SCHEMA)]
     )
 
-    def _encode_unique(v, kind: str):
-        na = pd.isna(v)
-        if isinstance(na, (bool, np.bool_)) and na:
-            return None
-        if kind == "int":
-            v = int(v)
-        elif kind == "float":
-            v = float(v)
-        elif kind == "bool":
-            v = bool(v)
-        else:
-            v = str(v)
-        return encode_value(v)
-
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            per_col = []
-            for c, kind in kinds.items():
-                col = pdf[c]
-                if col.dtype.kind == "f":
-                    # factorize the BIT PATTERN, not the float value:
-                    # -0.0 == 0.0 would otherwise collapse to whichever
-                    # appeared first and change the wire bytes. NaN rows
-                    # still drop (the NaN unique encodes to None below).
-                    vals = col.to_numpy()
-                    if vals.dtype != np.float64:
-                        vals = vals.astype(np.float64)
-                    codes, uniq_bits = pd.factorize(vals.view(np.int64))
-                    uniq = np.asarray(uniq_bits, dtype=np.int64).view(
-                        np.float64)
-                else:
-                    try:
-                        codes, uniq = pd.factorize(col, use_na_sentinel=True)
-                    except TypeError:
-                        # unhashable elements (list/array values): per-row
-                        # encode — the pre-round-5 semantics for these
-                        per_col.append([
-                            (None if b is None else {"key": c, "val": b})
-                            for b in (_encode_unique(v, kind) for v in col)
-                        ])
-                        continue
-                enc = [
-                    (None if b is None else {"key": c, "val": b})
-                    for b in (_encode_unique(v, kind) for v in uniq)
-                ]
-                per_col.append([enc[k] if k >= 0 else None for k in codes])
-            rows = [
-                [e for e in entries if e is not None]
-                for entries in zip(*per_col)
-            ] if per_col else [[] for _ in range(len(pdf))]
-            pdf = pdf.copy()
-            pdf[out_col] = rows
-            yield pdf
+            yield _pack_props_batch(pdf, kinds, out_col)
 
     return df.mapInPandas(pack, schema=schema)
+
+
+def _encode_unique_prop(v, kind: str):
+    from .kernels.mvt import encode_value
+
+    na = pd.isna(v)
+    if isinstance(na, (bool, np.bool_)) and na:
+        return None
+    if kind == "int":
+        v = int(v)
+    elif kind == "float":
+        v = float(v)
+    elif kind == "bool":
+        v = bool(v)
+    else:
+        v = str(v)
+    return encode_value(v)
+
+
+def _pack_props_batch(pdf: pd.DataFrame, kinds: dict[str, str],
+                      out_col: str) -> pd.DataFrame:
+    """One Arrow batch of encode_props_column's packing (module-level so
+    the dtype edge cases are unit-testable without a Spark round-trip)."""
+    per_col = []
+    for c, kind in kinds.items():
+        col = pdf[c]
+        if col.dtype.kind == "f":
+            # factorize the BIT PATTERN, not the float value:
+            # -0.0 == 0.0 would otherwise collapse to whichever
+            # appeared first and change the wire bytes. NaN rows
+            # still drop (the NaN unique encodes to None below).
+            # na_value=np.nan makes pandas NULLABLE float dtypes
+            # (Float64 extension, kind 'f' but object-backed
+            # to_numpy) degrade to the same NaN-dropping path
+            # instead of raising on pd.NA (ADVICE r5).
+            vals = col.to_numpy(dtype=np.float64, na_value=np.nan)
+            codes, uniq_bits = pd.factorize(vals.view(np.int64))
+            uniq = np.asarray(uniq_bits, dtype=np.int64).view(
+                np.float64)
+        else:
+            try:
+                codes, uniq = pd.factorize(col, use_na_sentinel=True)
+            except TypeError:
+                # unhashable elements (list/array values): per-row
+                # encode — the pre-round-5 semantics for these
+                per_col.append([
+                    (None if b is None else {"key": c, "val": b})
+                    for b in (_encode_unique_prop(v, kind) for v in col)
+                ])
+                continue
+        enc = [
+            (None if b is None else {"key": c, "val": b})
+            for b in (_encode_unique_prop(v, kind) for v in uniq)
+        ]
+        per_col.append([enc[k] if k >= 0 else None for k in codes])
+    rows = [
+        [e for e in entries if e is not None]
+        for entries in zip(*per_col)
+    ] if per_col else [[] for _ in range(len(pdf))]
+    pdf = pdf.copy()
+    pdf[out_col] = rows
+    return pdf
 
 
 _FIELD_TYPE_BY_KIND = {"bool": "Boolean", "int": "Number",
@@ -1674,45 +1684,74 @@ def _intern_tile_tags(items_per_feat, prop_filter):
     take a dict loop; large tiles (the 100-TB-lens case: one dense tile
     spanning a whole batch) take ONE pd.factorize pass over the flat
     entry arrays instead of per-entry dict lookups (VERDICT r4). Returns
-    (per-feature packed tag field bytes, keys, vals)."""
-    from .kernels.mvt import _packed_u32
+    (per-feature packed tag field bytes, keys, vals).
 
-    keys_flat: list[str] = []
-    vals_flat: list[bytes] = []
-    bounds = [0]
-    for items in items_per_feat:
-        if items is not None:
-            if prop_filter is not None:
-                items = prop_filter(list(items))
-            for it in items:
-                keys_flat.append(it["key"])
-                vals_flat.append(bytes(it["val"]))
-        bounds.append(len(keys_flat))
+    Round 6 (VERDICT r5 item 3): the per-feature ``_packed_u32`` loops are
+    gone — all tag indices interleave into ONE int64 array, varint-encode
+    in one vectorized ``_fill_varints`` pass, and each feature's packed
+    tags field slices out of the shared buffer (byte-identical: LEB128 is
+    LEB128). Flattening runs as list comprehensions over the entry lists;
+    per-feature bounds come from one cumsum over the (post-filter)
+    lengths."""
+    from .kernels.mvt import _varint
+    from .kernels.mvt_fast import _fill_varints, _varint_nb
+
     n = len(items_per_feat)
-    if not keys_flat:
+    if prop_filter is not None:
+        items_per_feat = [
+            None if items is None else prop_filter(list(items))
+            for items in items_per_feat
+        ]
+    lens = np.fromiter(
+        (0 if items is None else len(items) for items in items_per_feat),
+        dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
         return [b""] * n, [], []
-    if len(keys_flat) >= _FACTORIZE_MIN_ENTRIES:
+    keys_flat = [it["key"]
+                 for items in items_per_feat if items is not None
+                 for it in items]
+    vals_flat = [bytes(it["val"])
+                 for items in items_per_feat if items is not None
+                 for it in items]
+    if total >= _FACTORIZE_MIN_ENTRIES:
         kcodes, kuniq = pd.factorize(np.asarray(keys_flat, dtype=object))
         vcodes, vuniq = pd.factorize(np.asarray(vals_flat, dtype=object))
         keys, vals = list(kuniq), [bytes(v) for v in vuniq]
+        kcodes = kcodes.astype(np.int64, copy=False)
+        vcodes = vcodes.astype(np.int64, copy=False)
     else:
         key_idx: dict[str, int] = {}
         val_idx: dict[bytes, int] = {}
-        kcodes = [key_idx.setdefault(k, len(key_idx)) for k in keys_flat]
-        vcodes = [val_idx.setdefault(v, len(val_idx)) for v in vals_flat]
+        kcodes = np.fromiter(
+            (key_idx.setdefault(k, len(key_idx)) for k in keys_flat),
+            dtype=np.int64, count=total)
+        vcodes = np.fromiter(
+            (val_idx.setdefault(v, len(val_idx)) for v in vals_flat),
+            dtype=np.int64, count=total)
         keys, vals = list(key_idx), list(val_idx)
+    # one interleaved (k, v, k, v, ...) code array for the whole tile ->
+    # one varint fill; per-feature payloads are contiguous slices
+    inter = np.empty(2 * total, dtype=np.int64)
+    inter[0::2] = kcodes
+    inter[1::2] = vcodes
+    nb = _varint_nb(inter)
+    byte_pos = np.concatenate(([0], np.cumsum(nb)))
+    buf = np.zeros(int(byte_pos[-1]), dtype=np.uint8)
+    _fill_varints(buf, byte_pos[:-1], inter, nb)
+    payload = buf.tobytes()
+    ends = np.cumsum(lens)  # entry index bounds per feature
+    feat_b0 = byte_pos[2 * (ends - lens)]
+    feat_b1 = byte_pos[2 * ends]
     tag_bytes: list[bytes] = []
     for i in range(n):
-        s, e = bounds[i], bounds[i + 1]
+        s, e = int(feat_b0[i]), int(feat_b1[i])
         if s == e:
             tag_bytes.append(b"")
-        elif e - s == 1:
-            tag_bytes.append(_packed_u32(2, (int(kcodes[s]), int(vcodes[s]))))
         else:
-            tags = [0] * (2 * (e - s))
-            tags[0::2] = (int(c) for c in kcodes[s:e])
-            tags[1::2] = (int(c) for c in vcodes[s:e])
-            tag_bytes.append(_packed_u32(2, tags))
+            # packed tags field 2: key byte 0x12, length, payload — same
+            # bytes _packed_u32(2, ...) emitted entry-by-entry before
+            tag_bytes.append(b"\x12" + _varint(e - s) + payload[s:e])
     return tag_bytes, keys, vals
 
 
@@ -1761,20 +1800,38 @@ def _encode_props_tile(tile_id: int, fids, msgs, items_per_feat,
         if int(flens.sum()) + dict_bytes > max_tile_bytes:
             from .kernels.drop import tile_budget_keep_mask
 
-            mask = tile_budget_keep_mask(
-                np.asarray(fids, dtype=np.int64), flens, int(tile_id),
-                max(max_tile_bytes - dict_bytes, 0))
+            fid_arr = np.asarray(fids, dtype=np.int64)
+            eff = max(max_tile_bytes - dict_bytes, 0)
+            while True:
+                mask = tile_budget_keep_mask(fid_arr, flens, int(tile_id),
+                                             eff)
+                keep = np.flatnonzero(mask)
+                mvt, n_kept = _encode_props_tile(
+                    tile_id,
+                    [fids[i] for i in keep],
+                    [msgs[i] for i in keep],
+                    [items_per_feat[i] for i in keep],
+                    prop_filter, head, tail, None)
+                # Post-rebuild re-check (ADVICE r5): dictionary pruning
+                # usually SHRINKS the rebuilt tile, but a surviving
+                # feature's remapped tag index can cross a varint size
+                # boundary and push the layer back over budget when little
+                # was pruned. Charge exactly what the keep-mask charged
+                # (feature + dictionary bytes, i.e. layer minus head/tail)
+                # and retry with the overshoot removed from the budget —
+                # eff strictly decreases, so this terminates; the
+                # never-empties-a-tile guarantee still wins at one feature.
+                j = 1
+                while mvt[j] & 0x80:
+                    j += 1
+                charged = len(mvt) - (j + 1) - len(head) - len(tail)
+                if charged <= max_tile_bytes or n_kept <= 1:
+                    break
+                eff = max(eff - (charged - max_tile_bytes), 0)
             if cap_stats is not None:
                 cap_stats[0] += 1
-                cap_stats[1] += int(n_feat - mask.sum())
-            keep = np.flatnonzero(mask)
-            mvt, _ = _encode_props_tile(
-                tile_id,
-                [fids[i] for i in keep],
-                [msgs[i] for i in keep],
-                [items_per_feat[i] for i in keep],
-                prop_filter, head, tail, None)
-            return mvt, int(mask.sum())
+                cap_stats[1] += int(n_feat - n_kept)
+            return mvt, n_kept
     layer = (head + b"".join(parts)
              + b"".join(_len_delim(3, k.encode("utf-8")) for k in keys)
              + b"".join(_len_delim(4, v) for v in vals)
@@ -1884,6 +1941,21 @@ MSG_PROPS_SCHEMA = StructType(
 )
 
 
+_MISSING = object()  # pmap sentinel: distinguishes "unseen id" from
+# "seen with null props" so duplicate resolution can mimic F.min's
+# null-ignoring semantics
+
+
+def _props_ordering_key(p) -> tuple:
+    """Sort key reproducing Spark's ordering over array<struct<key string,
+    val binary>> — element-wise struct comparison (string then binary,
+    both byte-lexicographic; Python str comparison is code-point order,
+    which equals UTF-8 byte order), shorter-prefix-first. Used to resolve
+    duplicate feature_ids to the SAME winner F.min(props) picks on the
+    WKB-layout join path."""
+    return tuple((it["key"], bytes(it["val"])) for it in p)
+
+
 def make_fanout_encoded_props(config: TilerConfig,
                               metrics: PipelineMetrics | None = None):
     """Premerge map side WITH properties: fused fan-out + per-record
@@ -1893,26 +1965,46 @@ def make_fanout_encoded_props(config: TilerConfig,
     the per-tile tag interning (which needs the whole tile) remains
     reduce-side (VERDICT r5 item 2).
 
-    Duplicate feature_ids (hash-collided source ids): records take the
-    FIRST same-id row's props within their Arrow batch. The WKB-layout
-    join resolves duplicates to the ordering-minimum props instead; the
-    two layouts are byte-identical whenever feature_ids are unique
-    (always, short of a 63-bit hash collision)."""
+    Round 6: the -y/-x/-X property filter applies HERE, once per source
+    feature, before tile replication — excluded tag entries never cross
+    the shuffle multiplied by the pyramid fan-out (VERDICT r5 item 2 of
+    round-6 plan). The reduce side (make_wrap_props_encoder) skips the
+    filter; bytes are unchanged because the filter is per-feature and
+    idempotent.
+
+    Duplicate feature_ids (hash-collided source ids) resolve to the
+    ORDERING-MINIMUM props within the batch — the same rule as the
+    WKB-layout join's F.min(props) (nulls lose to non-null values), so
+    the two layouts stay deterministic and byte-identical even on
+    colliding ids (ADVICE r5). The key computation only runs when a
+    duplicate actually appears — the common unique-id case pays one dict
+    insert per row."""
     fan = make_fanout(config, metrics)
     extent, buffer_px = config.extent, config.buffer_pixels
+    prop_filter = _apply_property_filter(config)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            props_src = pdf["props"].tolist()
+            if prop_filter is not None:
+                props_src = [
+                    None if p is None else prop_filter(p) for p in props_src
+                ]
             # the fan-out is stateless across batches, so frames drained
             # from a single-batch iterator reference only THIS batch's
-            # feature_ids — the props lookup is a local dict (first
-            # same-id row wins, deterministically, not dict-last)
+            # feature_ids — the props lookup is a local dict
             pmap: dict = {}
-            for f, p in zip(pdf["feature_id"].tolist(),
-                            pdf["props"].tolist()):
-                pmap.setdefault(f, p)
+            for f, p in zip(pdf["feature_id"].tolist(), props_src):
+                cur = pmap.get(f, _MISSING)
+                if cur is _MISSING:
+                    pmap[f] = p
+                elif cur is None:
+                    pmap[f] = p  # min() ignores nulls: non-null wins
+                elif p is not None and (
+                        _props_ordering_key(p) < _props_ordering_key(cur)):
+                    pmap[f] = p
             for frame in fan(iter([pdf])):
                 tid = frame["tile_id"].to_numpy(dtype=np.int64)
                 fids = frame["feature_id"].to_numpy(dtype=np.int64)
@@ -1933,9 +2025,13 @@ def make_wrap_props_encoder(config: TilerConfig,
     """Premerge reduce side WITH properties: per tile, vectorized
     key/value interning (pd.factorize) + tag byte-splice into the
     map-encoded geometry messages — byte-identical to the WKB-layout
-    props encoder (shared _encode_props_tile)."""
+    props encoder (shared _encode_props_tile). The -y/-x/-X filter is NOT
+    re-applied here: make_fanout_encoded_props (this encoder's only
+    upstream) filtered once per feature map-side, so excluded entries
+    never crossed the shuffle — re-filtering would be a no-op pass over
+    every entry (round 6)."""
     layer_name, extent = config.layer_name, config.extent
-    prop_filter = _apply_property_filter(config)
+    prop_filter = None
     max_tile_bytes = config.max_tile_bytes
     acc_tiles = metrics.tiles_out if metrics else None
 
