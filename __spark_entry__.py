@@ -7,9 +7,10 @@ derive deterministic points from the events table (exact rational ops) and
 share the literal formula text between Spark and DuckDB via
 gpq_tiles_spark.functions.spatial_sql, so float parity is structural.
 
-Rows-only entries (no oracle): genuinely non-SQL-expressible ops — Hilbert
-curve encoding, MinHash near-dup banding, and the full clip/encode tile
-pipeline.
+Rows-only entries (no oracle): only Hilbert curve encoding remains — the
+curve index itself has no DuckDB analog. Everything else, including the
+full z0-8 tile PYRAMID (point thinning reconstructed bit-exactly in DuckDB
+via a HUGEINT wrapping-multiply fmix64), is oracle-backed.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gpq_tiles_spark.functions.spatial_sql import (
     EVENT_LAT,
     EVENT_LNG,
+    fmix64_norm_sql,
     tile_x_sql,
     tile_y_sql,
     world_x_sql,
@@ -660,8 +662,14 @@ def _sql_ann_ivf_recall() -> str:
 
 
 def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fan-out -> clip -> drop -> MVT pipeline over synthetic geometries
-    derived from event points (rows-only; exercises the whole engine)."""
+    """Full fan-out -> thin -> encode PYRAMID (z0-8) over point features,
+    oracle-backed per (zoom, tile): a point lands in exactly one tile per
+    zoom and the D1 thinning rule keep-iff fmix64(id)/2^64 < 0.4^(8-z)
+    (feature_drop.rs:42-115) is reproduced bit-exactly in DuckDB via a
+    HUGEINT wrapping-multiply fmix64 (functions/spatial_sql.py::
+    fmix64_norm_sql), so per-tile feature counts at EVERY zoom equal the
+    pure-SQL reconstruction — this upgrades the former rows-only row into
+    a full-pyramid oracle over the whole engine path."""
     from pyspark.sql import functions as F
 
     from gpq_tiles_spark.config import TilerConfig
@@ -674,7 +682,30 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of small framed messages, reduce-side wrap (no persist needed — the
     # fan-out runs exactly once as the shuffle map stage)
     tiles = encode_tiles_premerge(feats, cfg)
-    return tiles.select("tile_id", "z", "x", "y", "n_features")
+    return tiles.select(
+        F.col("z").cast("long").alias("z"),
+        F.col("x").alias("tx"),
+        F.col("y").alias("ty"),
+        F.col("n_features").alias("n_points"),
+    )
+
+
+def _sql_tile_pipeline_pyramid() -> str:
+    # D1 thinning oracle: per-zoom tile counts with the engine's own keep
+    # rule. Retention literals are computed by the SAME Python expression
+    # the kernel uses ((1/2.5)**dz) and inlined via repr(), so DuckDB
+    # parses the identical double and `<` is structural.
+    norm = fmix64_norm_sql("event_id")
+    parts = []
+    for z in range(9):
+        cond = "TRUE" if z == 8 else f"{norm} < {(1.0 / 2.5) ** (8 - z)!r}"
+        parts.append(f"""
+        SELECT CAST({z} AS BIGINT) AS z,
+               {tile_x_sql(EVENT_LNG, z)} AS tx,
+               {tile_y_sql(EVENT_LAT, z)} AS ty,
+               COUNT(*) AS n_points
+        FROM events WHERE {cond} GROUP BY 1, 2, 3""")
+    return " UNION ALL ".join(parts)
 
 
 def _sql_knn_distributed() -> str:
@@ -1173,6 +1204,9 @@ def oracle_sql() -> dict[str, str]:
         out[name] = duck_sql
     # engine-backed query whose result is provably the z8 assignment SQL
     out["tile_records_z8"] = _sql_tile_assign_z8()
+    # full-pyramid engine run vs per-zoom SQL with the bit-exact fmix64
+    # thinning reconstruction (round 6: was rows-only)
+    out["tile_pipeline_z8"] = _sql_tile_pipeline_pyramid()
     out["tile_props_z8"] = _sql_tile_props_z8()
     # archive round-trip decodes back to exactly the z8 assignment
     out["tile_archive_z8"] = _sql_tile_assign_z8()

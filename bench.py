@@ -19,6 +19,35 @@ import sys
 import time
 
 
+def _host_snapshot() -> dict:
+    """Contamination telltale baked into every bench JSON (round-5 lesson:
+    a committed artifact was 2-4x inflated by a concurrent pytest suite and
+    only BENCH.md prose disclosed it). loadavg >> the bench's own expected
+    load, or a python process count beyond this run's Spark workers, flags
+    the measurement as shared-host-contaminated without archaeology."""
+    snap: dict = {}
+    try:
+        snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        snap["loadavg"] = None
+    try:
+        n_py = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm", "rb") as f:
+                    if f.read().startswith(b"python"):
+                        n_py += 1
+            except OSError:
+                continue
+        snap["python_procs"] = n_py
+    except OSError:
+        snap["python_procs"] = None
+    snap["cpus"] = os.cpu_count()
+    return snap
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -88,6 +117,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
 
+    host_start = _host_snapshot()
     spark = _fresh_spark(cpus)
     t_start = time.perf_counter()
     queries = run_queries(spark, sf_dir)
@@ -105,6 +135,8 @@ def main() -> None:
         "tiles": n_tiles,
         "tile_records": n_records,
         "tiles_per_sec": round(tiles_per_sec, 2),
+        "host_start": host_start,
+        "host_end": _host_snapshot(),
     }
     spark.stop()
 
@@ -262,6 +294,7 @@ def run_adm4_anchor(cores: int = 32, props: bool = False) -> dict:
     from gpq_tiles_spark.config import TilerConfig
     from gpq_tiles_spark.pipeline import convert_sharded, encode_props_column
 
+    host_start = _host_snapshot()
     spark = _fresh_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     path = _adm4_fixture(spark, cores)
@@ -317,6 +350,8 @@ def run_adm4_anchor(cores: int = 32, props: bool = False) -> dict:
         "tiles": stats["tiles"],
         "fixture_bytes": fixture_bytes,
         "reference_anchor_sec": 180,
+        "host_start": host_start,
+        "host_end": _host_snapshot(),
     }
 
 
@@ -448,6 +483,7 @@ def run_scaling(max_zoom: int = 12, with_props: bool = False) -> dict:
             records, featp.select("feature_id", "props"), cfg,
             by_range=False)
 
+    host_start = _host_snapshot()
     docs_path = _scaling_fixture()
     eff = {}
     for cores in (2, 8):
@@ -497,6 +533,8 @@ def run_scaling(max_zoom: int = 12, with_props: bool = False) -> dict:
                 "32 hardware cores, matching real multi-executor clusters "
                 "where each executor owns its cores. Saturated pairings "
                 "disclosed in BENCH.md.",
+        "host_start": host_start,
+        "host_end": _host_snapshot(),
     }
 
 

@@ -49,6 +49,37 @@ def world_y_sql(lat: str) -> str:
     )
 
 
+def _mulwrap64_sql(a: str, c: int) -> str:
+    """Wrapping 64-bit multiply of expression ``a`` (UBIGINT) by constant
+    ``c``, as DuckDB SQL. DuckDB's UBIGINT ``*`` errors on overflow instead
+    of wrapping, so the product is assembled in HUGEINT from the constant's
+    32-bit halves (a*lo <= 2^96 and (a*hi mod 2^32)<<32 <= 2^64 both fit
+    int128) and reduced mod 2^64."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"(CAST((CAST({a} AS HUGEINT) * {lo} + "
+        f"((CAST({a} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS UBIGINT))"
+    )
+
+
+def fmix64_norm_sql(expr: str) -> str:
+    """fmix64(expr) / 2^64 as DuckDB SQL — bit-exact vs the numpy kernel
+    (kernels/hashes.py::fmix64; murmur3 finalizer, reference
+    feature_drop.rs:42-115). Feeds the D1 point-thinning oracle: the keep
+    decision is ``fmix64_norm < 0.4^(base_zoom - z)``, so with identical
+    doubles on both sides the comparison is structural, not approximate."""
+    h = f"CAST({expr} AS UBIGINT)"
+    h = f"xor({h}, {h} >> 33)"
+    h = _mulwrap64_sql(h, 0xFF51AFD7ED558CCD)
+    h = f"xor({h}, {h} >> 33)"
+    h = _mulwrap64_sql(h, 0xC4CEB9FE1A85EC53)
+    h = f"xor({h}, {h} >> 33)"
+    # engine normalizes by float(u64 max), which rounds to 2^64 — use the
+    # same literal so the division is the same IEEE op
+    return f"(CAST({h} AS DOUBLE) / 18446744073709551615.0)"
+
+
 def zone_rect_sql(key: str) -> dict[str, str]:
     """Deterministic zone rectangles derived from an integer key (used to give
     the nation table a spatial footprint for PIP joins).

@@ -300,35 +300,48 @@ def clip_edge_segmented(pts: np.ndarray, offs: np.ndarray, axis: int,
     r = len(offs) - 1
     if m == 0:
         return pts.reshape(0, 2), offs.copy()
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
     sizes = np.diff(offs)
     ring_id = np.repeat(np.arange(r, dtype=np.int64), sizes)
-    nxt_idx = np.arange(1, m + 1, dtype=np.int64)
-    nonempty = sizes > 0
-    nxt_idx[offs[1:][nonempty] - 1] = offs[:-1][nonempty]  # wrap per ring
     b = bounds[ring_id]
     vals = pts[:, axis]
     inside = vals >= b if keep_ge else vals <= b
-    inside_nxt = inside[nxt_idx]
+    # successor's inside flag = plain shift + per-ring wrap fixups; cheaper
+    # than materializing a full nxt_idx array and gathering through it
+    inside_nxt = np.empty(m, dtype=bool)
+    inside_nxt[:-1] = inside[1:]
+    nonempty = sizes > 0
+    ends = offs[1:][nonempty] - 1
+    inside_nxt[ends] = inside[offs[:-1][nonempty]]
     crossing = inside != inside_nxt
     counts = inside.astype(np.int64) + crossing
     total = int(counts.sum())
     out_sizes = np.bincount(ring_id, weights=counts, minlength=r).astype(np.int64)
     out_offs = np.zeros(r + 1, dtype=np.int64)
     np.cumsum(out_sizes, out=out_offs[1:])
-    out = np.empty((total, 2), dtype=np.float64)
     pos = np.zeros(m, dtype=np.int64)
     np.cumsum(counts[:-1], out=pos[1:])
+    # view (x, y) rows as complex128 scalars: the hot gather/scatter of kept
+    # vertices becomes 1-D element indexing (~2x faster than 2-D row fancy
+    # indexing); bit layout is identical so output bytes are unchanged
+    cpts = pts.view(np.complex128).ravel()
+    out = np.empty(total, dtype=np.complex128)
     if inside.any():
-        out[pos[inside]] = pts[inside]
+        out[pos[inside]] = cpts[inside]
     ci = np.flatnonzero(crossing)
     if len(ci):
+        # successor index only where a crossing actually happens: ci + 1,
+        # except ring-end points wrap to their own ring start
+        nxt_ci = ci + 1
+        is_end = ci == offs[ring_id[ci] + 1] - 1
+        nxt_ci[is_end] = offs[ring_id[ci[is_end]]]
         c0 = pts[ci]
-        c1 = pts[nxt_idx[ci]]
+        c1 = pts[nxt_ci]
         t = (b[ci] - c0[:, axis]) / (c1[:, axis] - c0[:, axis])
         ip = c0 + t[:, None] * (c1 - c0)
         ip[:, axis] = b[ci]
-        out[(pos + inside.astype(np.int64))[ci]] = ip
-    return out, out_offs
+        out[(pos + inside.astype(np.int64))[ci]] = ip.view(np.complex128).ravel()
+    return out.view(np.float64).reshape(-1, 2), out_offs
 
 
 def close_rings_segmented(pts: np.ndarray, offs: np.ndarray

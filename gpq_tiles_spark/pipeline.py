@@ -1825,7 +1825,12 @@ def _encode_props_tile(tile_id: int, fids, msgs, items_per_feat,
                 while mvt[j] & 0x80:
                     j += 1
                 charged = len(mvt) - (j + 1) - len(head) - len(tail)
-                if charged <= max_tile_bytes or n_kept <= 1:
+                # the one-feature guarantee counts LIVE records only —
+                # n_kept includes zero-cost dead records, so a tile of
+                # one oversized live feature plus dead records would spin
+                # at eff=0 forever if judged by n_kept
+                live_kept = sum(1 for i in keep if msgs[i])
+                if charged <= max_tile_bytes or live_kept <= 1 or eff == 0:
                     break
                 eff = max(eff - (charged - max_tile_bytes), 0)
             if cap_stats is not None:
@@ -1987,16 +1992,18 @@ def make_fanout_encoded_props(config: TilerConfig,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            props_src = pdf["props"].tolist()
-            if prop_filter is not None:
-                props_src = [
-                    None if p is None else prop_filter(p) for p in props_src
-                ]
             # the fan-out is stateless across batches, so frames drained
             # from a single-batch iterator reference only THIS batch's
-            # feature_ids — the props lookup is a local dict
+            # feature_ids — the props lookup is a local dict.
+            # Duplicate resolution runs over the RAW props (the WKB
+            # layout's F.min sits BEFORE its reduce-side filter, and a
+            # filter can flip the ordering between two colliding rows);
+            # the -y/-x/-X filter then applies once per UNIQUE feature
+            # below — still before tile replication, so excluded tags
+            # still never cross the shuffle
             pmap: dict = {}
-            for f, p in zip(pdf["feature_id"].tolist(), props_src):
+            for f, p in zip(pdf["feature_id"].tolist(),
+                            pdf["props"].tolist()):
                 cur = pmap.get(f, _MISSING)
                 if cur is _MISSING:
                     pmap[f] = p
@@ -2005,6 +2012,10 @@ def make_fanout_encoded_props(config: TilerConfig,
                 elif p is not None and (
                         _props_ordering_key(p) < _props_ordering_key(cur)):
                     pmap[f] = p
+            if prop_filter is not None:
+                for f, p in pmap.items():
+                    if p is not None:
+                        pmap[f] = prop_filter(p)
             for frame in fan(iter([pdf])):
                 tid = frame["tile_id"].to_numpy(dtype=np.int64)
                 fids = frame["feature_id"].to_numpy(dtype=np.int64)

@@ -70,8 +70,37 @@ def test_rows_only_queries_run(spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     rows_only = [k for k in qs if k not in oracles]
-    # minhash_neardup graduated to an oracle-backed recall invariant in r3
-    assert set(rows_only) == {"hilbert_order", "tile_pipeline_z8"}
+    # minhash_neardup graduated to an oracle-backed recall invariant in r3;
+    # tile_pipeline_z8 graduated to the full-pyramid fmix64 oracle in r6 —
+    # only the Hilbert curve index itself has no DuckDB analog
+    assert set(rows_only) == {"hilbert_order"}
     for name in rows_only:
         n = qs[name](spark, SF_DIR).count()
         assert n > 0, name
+
+
+def test_fmix64_sql_bit_exact_vs_kernel():
+    """The D1 thinning oracle hinges on DuckDB computing the *identical*
+    uint64 fmix64 and the identical normalized double — assert both over
+    boundary values and a random sweep (wrapping-multiply correctness)."""
+    import numpy as np
+
+    from gpq_tiles_spark.functions.spatial_sql import fmix64_norm_sql
+    from gpq_tiles_spark.kernels.hashes import fmix64
+
+    rng = np.random.default_rng(7)
+    ids = np.concatenate([
+        np.array([0, 1, 2, 2**32 - 1, 2**32, 2**63 - 1, 2**63, 2**64 - 1],
+                 dtype=np.uint64),
+        rng.integers(0, 2**64, size=500, dtype=np.uint64),
+    ])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT UNNEST(?::UBIGINT[]) AS v",
+                [[int(i) for i in ids]])
+    got = np.array(
+        [r[0] for r in con.execute(
+            f"SELECT {fmix64_norm_sql('v')} FROM t").fetchall()],
+        dtype=np.float64)
+    con.close()
+    want = fmix64(ids).astype(np.float64) / float(0xFFFFFFFFFFFFFFFF)
+    assert np.array_equal(got, want)

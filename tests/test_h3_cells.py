@@ -136,3 +136,94 @@ def test_h3_adapter_int64_reinterpret_roundtrip(monkeypatch):
     monkeypatch.setattr(C, "HAS_H3", True)
     got = C.latlng_to_h3_cell(np.array([0.0]), np.array([0.0]), 9)
     assert np.uint64(got.astype(np.uint64)[0]) == np.uint64(big)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: PUBLISHED golden vectors, asserted lib-free. The fake module
+# resolves latlng_to_cell by EXACT dict lookup on (lat, lng, res) and
+# returns the published H3 cell string, so a swapped argument order, a
+# wrong resolution pass-through, or a broken hex->uint64->int64 path all
+# miss the lookup or corrupt the asserted numeric id. Vector sources are
+# the public H3 docs quickstart and the h3-py README examples; each id is
+# additionally self-checked against the PUBLISHED index bit layout
+# (bit 63 reserved=0, bits 62-59 mode=1 for cells, bits 55-52 resolution)
+# so a mis-remembered vector cannot slip in silently.
+# ---------------------------------------------------------------------------
+
+# (lat, lng, res) -> published cell id string
+H3_GOLDEN_CELLS = {
+    # H3 docs / h3-js README canonical example
+    (37.7752702151959, -122.418307270836, 9): "8928308280fffff",
+    # h3-py README quickstart example
+    (37.3615593, -122.0553238, 5): "85283473fffffff",
+}
+
+# h3-py docs: k_ring('8928308280fffff', 1) — the 7-cell hex disk
+H3_GOLDEN_DISK_K1 = {
+    "8928308280fffff",
+    "8928308280bffff",
+    "89283082807ffff",
+    "89283082877ffff",
+    "89283082803ffff",
+    "89283082873ffff",
+    "8928308283bffff",
+}
+
+
+def test_golden_vectors_satisfy_h3_bit_layout():
+    """Sanity gate on the vendored vectors themselves: every id must parse
+    as a valid H3 CELL index with the resolution its vector claims (the
+    bit layout is normative in the public H3 spec)."""
+    for (lat, lng, res), s in H3_GOLDEN_CELLS.items():
+        v = int(s, 16)
+        assert v >> 63 == 0, s                      # reserved high bit
+        assert (v >> 59) & 0xF == 1, s              # mode 1 = cell
+        assert (v >> 52) & 0xF == res, s            # resolution field
+        assert -90.0 <= lat <= 90.0 and -180.0 <= lng <= 180.0
+    for s in H3_GOLDEN_DISK_K1:
+        v = int(s, 16)
+        assert v >> 63 == 0 and (v >> 59) & 0xF == 1
+        assert (v >> 52) & 0xF == 9, s              # disk is at res 9
+
+
+def _make_fake_golden(api: str):
+    lookup = {k: v for k, v in H3_GOLDEN_CELLS.items()}
+    disk_lookup = {("8928308280fffff", 1): sorted(H3_GOLDEN_DISK_K1)}
+    m = types.ModuleType("h3")
+
+    def to_cell(lat, lng, res):
+        return lookup[(lat, lng, res)]  # KeyError = argument-order bug
+
+    def disk(cell_str, k):
+        return disk_lookup[(cell_str, k)]
+
+    if api == "v4":
+        m.latlng_to_cell = to_cell
+        m.grid_disk = disk
+        m.str_to_int = lambda s: int(s, 16)
+        m.int_to_str = lambda v: format(int(v), "x")
+    else:
+        m.geo_to_h3 = to_cell
+        m.k_ring = disk
+        m.string_to_h3 = lambda s: int(s, 16)
+        m.h3_to_string = lambda v: format(int(v), "x")
+    return m
+
+
+@pytest.mark.parametrize("api", ["v4", "v3"])
+def test_h3_adapter_against_published_vectors(monkeypatch, api):
+    monkeypatch.setitem(sys.modules, "h3", _make_fake_golden(api))
+    monkeypatch.setattr(C, "HAS_H3", True)
+    lats = np.array([k[0] for k in H3_GOLDEN_CELLS])
+    lngs = np.array([k[1] for k in H3_GOLDEN_CELLS])
+    for (lat, lng, res), want_str in H3_GOLDEN_CELLS.items():
+        got = C.latlng_to_h3_cell(np.array([lng]), np.array([lat]), res)
+        assert got.dtype == np.int64
+        assert np.uint64(got.astype(np.uint64)[0]) == np.uint64(int(want_str, 16))
+    _ = (lats, lngs)
+    # disk of the res-9 docs cell: exactly the published 7-cell set
+    center = np.array([int("8928308280fffff", 16)], dtype=np.int64)
+    idx, cells = C.h3_grid_disk(center, 1)
+    assert idx.tolist() == [0] * 7
+    got_set = {format(np.uint64(c).item(), "x") for c in cells}
+    assert got_set == H3_GOLDEN_DISK_K1

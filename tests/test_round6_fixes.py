@@ -289,3 +289,50 @@ def test_intern_vectorized_matches_packed_u32():
             for it in f:
                 want += [kidx[it["key"]], vidx[bytes(it["val"])]]
             assert tb == _packed_u32(2, want)
+
+
+def test_premerge_duplicate_resolution_on_raw_props_under_filter():
+    """The duplicate-id winner must be chosen on the RAW props (the WKB
+    layout's F.min runs before its reduce-side filter) even when the
+    -y/-x/-X filter would FLIP the ordering between the colliding rows —
+    then the filter applies to the winner. Raw: pa < pb (key 'a' value
+    '1' < '2'); filtered (drop 'a'): filter(pb)=[(b,1)] < filter(pa)=
+    [(z,9)]. Filtering first would pick pb and diverge from the WKB
+    layout; the winner must be filter(pa)."""
+    cfg = TilerConfig(min_zoom=2, max_zoom=2, write_properties=True,
+                      exclude_properties=["a"])
+    gen = make_fanout_encoded_props(cfg)
+    pa = _props(("a", "1"), ("z", "9"))
+    pb = _props(("a", "2"), ("b", "1"))
+    want = tuple((e["key"], bytes(e["val"])) for e in _props(("z", "9")))
+    for order in ([pa, pb], [pb, pa]):
+        pdf = _feature_pdf([(7, 10.0, 40.0, order[0]),
+                            (7, 10.0, 40.0, order[1])])
+        frames = list(gen(iter([pdf])))
+        got = {tuple((e["key"], bytes(e["val"])) for e in p)
+               for f in frames for p in f["props"].tolist()}
+        assert got == {want}, f"order picked {got}"
+
+
+def test_capped_props_tile_with_dead_records_terminates():
+    """Regression (round 6): the post-rebuild budget re-check judged the
+    one-feature guarantee by n_kept, which COUNTS zero-cost dead records.
+    A tile whose single live feature (plus dictionary) exceeds the budget
+    while dead records ride along kept n_kept > 1 at eff=0 forever — an
+    infinite loop hypothesis found in test_encode_props_tile_invariants.
+    The guarantee must count LIVE records only."""
+    head, tail = b"\x0a\x01x", b"\x28\x80\x20\x78\x02"
+    live_msg = b"\x12\x04\x08\x01\x18\x01"
+    fat = _props(("k", "v" * 120), ("kk", "w" * 120))
+    fids = [1, 4, 7, 10]
+    msgs = [live_msg, b"", b"", b""]
+    items = [fat, None, None, None]
+    mvt, n_kept = _encode_props_tile(
+        42, fids, msgs, items, None, head, tail, 8)
+    # terminated, kept the one live feature + the zero-cost dead records
+    assert n_kept == 4
+    from gpq_tiles_spark.kernels.mvt import decode_tile
+    lay = decode_tile(mvt)[0]
+    assert len(lay["features"]) == 1
+    # over budget is allowed ONLY via the never-empties-a-tile guarantee
+    assert _charged_bytes(mvt, head, tail) > 8
