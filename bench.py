@@ -148,6 +148,12 @@ def main() -> None:
         result["adm4_anchor"] = run_adm4_anchor(cpus)
     if "--adm4-props" in sys.argv:
         result["adm4_props_anchor"] = run_adm4_anchor(cpus, props=True)
+    if "--adm4-zstd" in sys.argv:
+        # the reference CLI's DEFAULT codec (cli/main.rs:69; its published
+        # ~180 s anchor ran with it) — active since the round-6 ctypes
+        # libzstd binding; raises cleanly if no zstd backend exists
+        result["adm4_zstd_anchor"] = run_adm4_anchor(cpus,
+                                                     compression="zstd")
     if "--rowgroups" in sys.argv:
         result["rowgroup_pathology"] = run_rowgroup_pathology(cpus)
 
@@ -277,7 +283,8 @@ def _adm4_fixture(spark, cores: int) -> str:
     return path
 
 
-def run_adm4_anchor(cores: int = 32, props: bool = False) -> dict:
+def run_adm4_anchor(cores: int = 32, props: bool = False,
+                    compression: str = "gzip") -> dict:
     """Like-for-like run against the reference's published anchor: 363,783
     VERTEX-REALISTIC polygons (~550 vertices each, ~= the real 3.2 GB ADM4
     fixture's vertex density) in a Netherlands-sized box -> z0-14 PMTiles
@@ -319,8 +326,10 @@ def run_adm4_anchor(cores: int = 32, props: bool = False) -> dict:
     # NL box fits in ONE tile at z<=6): the mega-tile reduce task is a
     # bytes concat + gzip, not 3 GB of geometry encoding.
     cfg = TilerConfig(min_zoom=0, max_zoom=14, shuffle_partitions=4 * cores,
-                      write_properties=props)
-    out_path = "/tmp/gpq_bench/adm4_like%s.pmtiles" % ("_props" if props else "")
+                      write_properties=props, tile_compression=compression)
+    out_path = "/tmp/gpq_bench/adm4_like%s%s.pmtiles" % (
+        "_props" if props else "",
+        "" if compression == "gzip" else "_" + compression)
     if props:
         from pyspark.sql import functions as F
 
@@ -344,7 +353,9 @@ def run_adm4_anchor(cores: int = 32, props: bool = False) -> dict:
     return {
         "workload": "363,783 vertex-realistic (~550-vtx) polygons "
                     "(NL-sized box) -> z0-14 pmtiles, input read from disk"
-                    + (", 2 property tags/feature" if props else ""),
+                    + (", 2 property tags/feature" if props else "")
+                    + ("" if compression == "gzip"
+                       else f", {compression} tiles"),
         "sec": round(dt, 1),
         "features_per_sec": round(363_783 / dt, 1),
         "tiles": stats["tiles"],

@@ -18,9 +18,11 @@ class TilerConfig:
     enable_density_drop: bool = False
     density_cell_size: int = 16
     density_max_per_cell: int = 1
-    tile_compression: str = "gzip"  # gzip | none | zstd | brotli (zstd/brotli
-    # import-gated: active when the lib is installed; ref default is zstd,
-    # cli/main.rs:69 — gzip here because the container lacks the libs)
+    tile_compression: str = "gzip"  # gzip | none | zstd | brotli. zstd
+    # (the reference default, cli/main.rs:69) works via the `zstandard`
+    # package OR the ctypes binding to a system libzstd
+    # (kernels/zstd_ctypes.py); brotli is import-gated. Default stays gzip
+    # — always available and foreign-reader-verified.
     simplification: str = "dp"  # dp (reference parity) | visvalingam (T18)
     # property writing [extension BEYOND the reference: its tile writer
     # emits empty properties — pipeline.rs:949/:1045 "Empty properties for

@@ -26,7 +26,11 @@ EXTRAS: dict[str, str] = {
 
 
 def available() -> dict[str, bool]:
-    """Which optional capabilities are active in THIS environment."""
+    """Which optional capabilities are active in THIS environment.
+
+    zstd is special: the codec also activates WITHOUT any package when a
+    system libzstd is loadable (kernels/zstd_ctypes.py), so it reports
+    active if either backend exists."""
     out = {}
     for name, mod in EXTRAS.items():
         try:
@@ -34,4 +38,8 @@ def available() -> dict[str, bool]:
             out[name] = True
         except ImportError:
             out[name] = False
+    if not out["zstd"]:
+        from .kernels import zstd_ctypes
+
+        out["zstd"] = zstd_ctypes.available()
     return out

@@ -46,13 +46,16 @@ CODEC_BY_NAME = {
 
 
 # zstd/brotli are import-gated: the reference CLI defaults to zstd
-# (cli/main.rs:69, compression.rs:72-119) but neither lib ships in this
-# container — installing `zstandard` / `brotli` activates the codec with no
-# code change; an absent lib raises a clear error instead of a bad archive.
+# (cli/main.rs:69, compression.rs:72-119). The `zstandard` package is
+# preferred when installed; otherwise a ctypes binding to the SYSTEM
+# libzstd (shipped by pyarrow/conda/most distros) activates the codec
+# dependency-free — an absent lib raises a clear error, never a bad
+# archive.
 try:  # pragma: no cover - not installed in this container
     import zstandard as _zstd
 except ImportError:
     _zstd = None
+from . import zstd_ctypes as _zstd_sys
 try:  # pragma: no cover - not installed in this container
     import brotli as _brotli
 except ImportError:
@@ -66,12 +69,15 @@ def compress(data: bytes, codec: int) -> bytes:
         # flate2 default level is 6; mtime pinned to 0 for determinism
         return gzip.compress(data, compresslevel=6, mtime=0)
     if codec == COMPRESSION_ZSTD:
-        if _zstd is None:
-            raise NotImplementedError(
-                "zstd requested but the 'zstandard' package is not installed"
-            )
         # level 3 matches the reference default (compression.rs:87)
-        return _zstd.ZstdCompressor(level=3).compress(data)
+        if _zstd is not None:
+            return _zstd.ZstdCompressor(level=3).compress(data)
+        if _zstd_sys.available():
+            return _zstd_sys.compress(data, level=3)
+        raise NotImplementedError(
+            "zstd requested but neither the 'zstandard' package nor a "
+            "system libzstd is available"
+        )
     if codec == COMPRESSION_BROTLI:
         if _brotli is None:
             raise NotImplementedError(
@@ -87,11 +93,14 @@ def decompress(data: bytes, codec: int) -> bytes:
     if codec == COMPRESSION_GZIP:
         return gzip.decompress(data)
     if codec == COMPRESSION_ZSTD:
-        if _zstd is None:
-            raise NotImplementedError(
-                "zstd archive but the 'zstandard' package is not installed"
-            )
-        return _zstd.ZstdDecompressor().decompress(data)
+        if _zstd is not None:
+            return _zstd.ZstdDecompressor().decompress(data)
+        if _zstd_sys.available():
+            return _zstd_sys.decompress(data)
+        raise NotImplementedError(
+            "zstd archive but neither the 'zstandard' package nor a "
+            "system libzstd is available"
+        )
     if codec == COMPRESSION_BROTLI:
         if _brotli is None:
             raise NotImplementedError(

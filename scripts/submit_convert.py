@@ -24,7 +24,9 @@ def main() -> None:
     p.add_argument("--layer-name", default="features")
     p.add_argument("--compression", default="gzip",
                    choices=["gzip", "none", "zstd", "brotli"],
-                   help="zstd/brotli require the lib installed (import-gated)")
+                   help="zstd works via the zstandard package or a system "
+                        "libzstd (ctypes); brotli requires the lib "
+                        "installed (import-gated)")
     p.add_argument("--salted", action="store_true")
     p.add_argument("--sharded", action="store_true",
                    help="executor-written shard files + driver concat "

@@ -203,19 +203,33 @@ def test_convert_progress_events_and_metrics(spark, docs_table, tmp_path):
 
 
 def test_zstd_brotli_gated(tmp_path):
-    """Codec 4/3 paths exist behind import gates: with the lib absent they
-    raise a clear NotImplementedError; round-trip when present."""
+    """Codec 4/3 paths exist behind import gates: with no backend they
+    raise a clear NotImplementedError; round-trip when present. zstd has
+    TWO backends — the `zstandard` package and the round-6 ctypes binding
+    to the system libzstd — and compress() must route to whichever
+    exists."""
     import pytest as _pytest
 
     from gpq_tiles_spark.kernels import pmtiles as P
+    from gpq_tiles_spark.kernels import zstd_ctypes as Z
 
     data = b"tile bytes " * 50
-    for codec, mod in ((P.COMPRESSION_ZSTD, P._zstd), (P.COMPRESSION_BROTLI, P._brotli)):
-        if mod is None:
-            with _pytest.raises(NotImplementedError):
-                P.compress(data, codec)
-        else:  # pragma: no cover - lib present in some environments
-            assert P.decompress(P.compress(data, codec), codec) == data
+    zstd_ok = P._zstd is not None or Z.available()
+    if zstd_ok:
+        assert P.decompress(P.compress(data, P.COMPRESSION_ZSTD),
+                            P.COMPRESSION_ZSTD) == data
+        # deterministic: the sharded sink's byte-identity contract
+        assert P.compress(data, P.COMPRESSION_ZSTD) == P.compress(
+            data, P.COMPRESSION_ZSTD)
+    else:  # pragma: no cover - at least libzstd present in this container
+        with _pytest.raises(NotImplementedError):
+            P.compress(data, P.COMPRESSION_ZSTD)
+    if P._brotli is None:
+        with _pytest.raises(NotImplementedError):
+            P.compress(data, P.COMPRESSION_BROTLI)
+    else:  # pragma: no cover - lib present in some environments
+        assert P.decompress(P.compress(data, P.COMPRESSION_BROTLI),
+                            P.COMPRESSION_BROTLI) == data
     # gzip always round-trips
     assert P.decompress(P.compress(data, P.COMPRESSION_GZIP), P.COMPRESSION_GZIP) == data
 
