@@ -52,9 +52,17 @@ def command_decode(c: int) -> tuple[int, int]:
 
 
 def round_half_away(x: np.ndarray) -> np.ndarray:
-    """Rust f64::round: ties away from zero (numpy rounds half-to-even)."""
+    """Rust f64::round: ties away from zero (numpy rounds half-to-even).
+
+    copysign(floor(|x| + 0.5), x) — same values as the branchy
+    where(x>=0, floor(x+0.5), ceil(x-0.5)) form on every input (including
+    -0.0, where it matches Rust bit-for-bit), with 3 array passes
+    instead of 6."""
     x = np.asarray(x, dtype=np.float64)
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    t = np.abs(x)
+    t += 0.5
+    np.floor(t, out=t)
+    return np.copysign(t, x, out=t)
 
 
 def geo_to_tile_px(coords: np.ndarray, lng_min, lat_min, lng_max, lat_max,

@@ -331,6 +331,66 @@ def _slice_payload(wkb_cat: bytes, starts_bytes: np.ndarray,
     return b"".join(wkb_cat[a:b] for a, b in zip(s, e))
 
 
+def _quantize_zigzag_interleaved(coords: np.ndarray, gr: np.ndarray,
+                                 npts: np.ndarray, starts: np.ndarray,
+                                 lng0, lat0, lng1, lat1,
+                                 extent: int) -> np.ndarray:
+    """(m,2) degree coords -> interleaved zigzag int64 array [zzx0, zzy0,
+    zzx1, ...] with per-ring cursor resets, in ONE pass over the
+    interleaved layout (the WKB payload is already x,y-interleaved, so
+    never de-interleaving saves ~half the memory traffic of the old
+    fx/fy/px/py/zzx/zzy/interleave chain at tens of millions of points).
+
+    Bit-identical to the slot-wise formulas of kernels.mvt.geo_to_tile_px:
+    x slots  round_half_away((x - lng0)/(lng1 - lng0) * extent)
+    y slots  round_half_away((1 - (y - lat0)/(lat1 - lat0)) * extent)
+    then per-slot delta vs the previous point (0 at each ring start) and
+    zigzag masked to 32 bits.
+
+    ``gr`` maps each RECORD (ring) to its tile-window group; ``npts`` /
+    ``starts`` are the per-record point counts and exclusive-cumsum starts.
+    """
+    flat = coords.reshape(-1)           # contiguous [x0, y0, x1, y1, ...]
+    nrows = len(gr)
+    # per-record window params, interleaved (x-slot, y-slot) pairs, then
+    # expanded per point with one contiguous repeat
+    par_off = np.empty((nrows, 2), dtype=np.float64)
+    par_off[:, 0] = lng0[gr]
+    par_off[:, 1] = lat0[gr]
+    par_den = np.empty((nrows, 2), dtype=np.float64)
+    par_den[:, 0] = lng1[gr]
+    par_den[:, 0] -= par_off[:, 0]
+    par_den[:, 1] = lat1[gr]
+    par_den[:, 1] -= par_off[:, 1]
+    off2 = np.repeat(par_off, npts, axis=0).reshape(-1)
+    den2 = np.repeat(par_den, npts, axis=0).reshape(-1)
+    f = flat - off2
+    f /= den2
+    # x slots: f*extent ; y slots: (1-f)*extent — strided in-place halves
+    fy = f[1::2]
+    np.subtract(1.0, fy, out=fy)
+    f *= float(extent)
+    # round half away from zero (reuse off2 as scratch)
+    t = np.abs(f, out=off2)
+    t += 0.5
+    np.floor(t, out=t)
+    np.copysign(t, f, out=t)
+    q = t.astype(np.int64)
+    # delta vs previous point (slot-wise shift by 2), ring starts reset to 0
+    prev = np.empty_like(q)
+    prev[2:] = q[:-2]
+    s2 = 2 * starts
+    prev[s2] = 0
+    prev[s2 + 1] = 0
+    q -= prev
+    # zigzag in place
+    sign = q >> 63
+    q <<= 1
+    q ^= sign
+    q &= 0xFFFFFFFF
+    return q
+
+
 _LS_HDR = b"\x01\x02\x00\x00\x00"
 
 
@@ -360,26 +420,9 @@ def _bulk_lines(buf8: np.ndarray, woffs: np.ndarray, wkb_cat: bytes,
     npts = ((lens[rows] - 9) // 16).astype(np.int64)
     payload = _slice_payload(wkb_cat, woffs[rows] + 9, lens[rows] - 9)
     coords = np.frombuffer(payload, dtype="<f8").reshape(-1, 2)
-    rec = np.repeat(np.arange(len(rows)), npts)
-    g = gidx[rows][rec]
-    fx = (coords[:, 0] - lng0[g]) / (lng1[g] - lng0[g]) * extent
-    fy = (1.0 - (coords[:, 1] - lat0[g]) / (lat1[g] - lat0[g])) * extent
-    px = M.round_half_away(fx).astype(np.int64)
-    py = M.round_half_away(fy).astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
-    prev_x = np.empty_like(px)
-    prev_x[1:] = px[:-1]
-    prev_x[starts] = 0
-    prev_y = np.empty_like(py)
-    prev_y[1:] = py[:-1]
-    prev_y[starts] = 0
-    dx = px - prev_x
-    dy = py - prev_y
-    zzx = ((dx << 1) ^ (dx >> 63)) & 0xFFFFFFFF
-    zzy = ((dy << 1) ^ (dy >> 63)) & 0xFFFFFFFF
-    inter = np.empty(2 * len(px), dtype=np.int64)
-    inter[0::2] = zzx
-    inter[1::2] = zzy
+    inter = _quantize_zigzag_interleaved(
+        coords, gidx[rows], npts, starts, lng0, lat0, lng1, lat1, extent)
     row_start = np.full(n, -1, dtype=np.int64)
     row_npts = np.zeros(n, dtype=np.int64)
     row_start[rows] = starts
@@ -429,44 +472,32 @@ def _bulk_poly1(buf8: np.ndarray, woffs: np.ndarray, wkb_cat: bytes,
         _slice_payload(wkb_cat, woffs[rows] + 13, lens[rows] - 13),
         dtype="<f8").reshape(-1, 2)
     starts = np.concatenate(([0], np.cumsum(npts)[:-1]))
-    rec = np.repeat(np.arange(len(rows)), npts)
 
-    # orientation: signed ring area via cross-term reduceat (per record)
+    # orientation: signed ring area via cross-term reduceat (per record).
+    # interior terms come from shifted contiguous views; only the O(nrows)
+    # ring-end wrap terms need gathers (the old per-point nxt index array
+    # + two full fancy gathers were ~3x the traffic for the same sums)
     x, y = coords[:, 0], coords[:, 1]
-    nxt = np.empty(len(x), dtype=np.int64)
-    nxt[:] = np.arange(1, len(x) + 1)
+    m = len(x)
     ends = starts + npts - 1
-    nxt[ends] = starts  # wrap within each ring
-    cross = x * y[nxt] - x[nxt] * y
+    cross = np.empty(m, dtype=np.float64)
+    cross[:-1] = x[:-1] * y[1:]
+    cross[:-1] -= x[1:] * y[:-1]
+    cross[ends] = x[ends] * y[starts] - x[starts] * y[ends]
     a2 = np.add.reduceat(cross, starts)
     flip = a2 < 0  # exterior must be CCW (orient_rings)
     if flip.any():
         # gather only when some ring actually reverses — clip kernels
         # preserve input orientation, so on CCW-ring corpora this whole
         # branch (3 full-size index builds + a 16-byte/pt gather) is skipped
-        local = np.arange(len(x), dtype=np.int64) - starts[rec]
+        rec = np.repeat(np.arange(len(rows)), npts)
+        local = np.arange(m, dtype=np.int64) - starts[rec]
         rev = starts[rec] + (npts[rec] - 1 - local)
-        src_idx = np.where(flip[rec], rev, np.arange(len(x), dtype=np.int64))
+        src_idx = np.where(flip[rec], rev, np.arange(m, dtype=np.int64))
         coords = coords[src_idx]
 
-    g = gidx[rows][rec]
-    fx = (coords[:, 0] - lng0[g]) / (lng1[g] - lng0[g]) * extent
-    fy = (1.0 - (coords[:, 1] - lat0[g]) / (lat1[g] - lat0[g])) * extent
-    px = M.round_half_away(fx).astype(np.int64)
-    py = M.round_half_away(fy).astype(np.int64)
-    prev_x = np.empty_like(px)
-    prev_x[1:] = px[:-1]
-    prev_x[starts] = 0
-    prev_y = np.empty_like(py)
-    prev_y[1:] = py[:-1]
-    prev_y[starts] = 0
-    dx = px - prev_x
-    dy = py - prev_y
-    zzx = ((dx << 1) ^ (dx >> 63)) & 0xFFFFFFFF
-    zzy = ((dy << 1) ^ (dy >> 63)) & 0xFFFFFFFF
-    inter = np.empty(2 * len(px), dtype=np.int64)
-    inter[0::2] = zzx
-    inter[1::2] = zzy
+    inter = _quantize_zigzag_interleaved(
+        coords, gidx[rows], npts, starts, lng0, lat0, lng1, lat1, extent)
     row_start = np.full(n, -1, dtype=np.int64)
     row_npts = np.zeros(n, dtype=np.int64)
     row_start[rows] = starts
@@ -508,11 +539,37 @@ def _batch_geom_fields(row_start: np.ndarray, row_npts: np.ndarray,
     else:
         vals[offs + 3] = (2 & 0x7) | ((p - 1) << 3)
         n_mid = 2 * (p - 1)
-    # gather the middle zigzag pairs: out positions offs+4.., src 2s+2..
-    mid_rows = np.repeat(np.arange(n_rows), n_mid)
-    mid_starts_out = np.concatenate(([0], np.cumsum(n_mid)[:-1]))
-    local = np.arange(int(n_mid.sum()), dtype=np.int64) - mid_starts_out[mid_rows]
-    vals[offs[mid_rows] + 4 + local] = inter[2 * s[mid_rows] + 2 + local]
+    # copy the middle zigzag pairs: out positions offs+4.., src 2s+2..
+    if int(n_mid.sum()):
+        s2 = 2 * s
+        seg_end = s2 + 2 * p
+        # fast path: the rows' inter segments tile `inter` contiguously in
+        # row order (true for every current caller — inter is built with an
+        # exclusive-cumsum start per row over exactly these rows).  Then the
+        # copy is a boolean-mask compress/place pair (1 B/slot of mask
+        # traffic) instead of repeat+arange fancy indexing (~7 int64 temps,
+        # 8 B/slot each).
+        if bool(s2[0] == 0) and seg_end[-1] == len(inter) \
+                and np.all(s2[1:] == seg_end[:-1]):
+            src_mask = np.ones(len(inter), dtype=bool)
+            src_mask[s2] = False
+            src_mask[s2 + 1] = False
+            dst_mask = np.ones(total, dtype=bool)
+            dst_mask[offs] = False
+            dst_mask[offs + 1] = False
+            dst_mask[offs + 2] = False
+            dst_mask[offs + 3] = False
+            if kind == "poly":
+                src_mask[seg_end - 2] = False
+                src_mask[seg_end - 1] = False
+                dst_mask[offs + per_row - 1] = False
+            vals[dst_mask] = inter[src_mask]
+        else:
+            mid_rows = np.repeat(np.arange(n_rows), n_mid)
+            mid_starts_out = np.concatenate(([0], np.cumsum(n_mid)[:-1]))
+            local = (np.arange(int(n_mid.sum()), dtype=np.int64)
+                     - mid_starts_out[mid_rows])
+            vals[offs[mid_rows] + 4 + local] = inter[2 * s[mid_rows] + 2 + local]
 
     # vectorized varints
     nb = np.ones(total, dtype=np.int64)
@@ -788,12 +845,27 @@ def _assemble_feature_messages(n, fid, wkbs, lens, gidx,
         _fill_varints(buf, mid[rows_i] + 3, blen_row[rows_i], nb_b)
         dst0 = mid[rows_i] + 3 + nb_b
         ln = blen_row[rows_i]
-        grp = np.repeat(np.arange(len(rows_i)), ln)
-        grp_start = np.zeros(len(rows_i), dtype=np.int64)
-        np.cumsum(ln[:-1], out=grp_start[1:])
-        local = np.arange(int(ln.sum()), dtype=np.int64) - grp_start[grp]
         src = np.frombuffer(src_buf, dtype=np.uint8)
-        buf[dst0[grp] + local] = src[src_off_row[rows_i][grp] + local]
+        so = src_off_row[rows_i]
+        # fast path: the rows' payloads tile src_buf contiguously in row
+        # order (true whenever no bulk-path row was reclassified, i.e.
+        # always in practice), so the whole copy is src -> the union of dst
+        # segments.  Mark that union with a +1/-1 run-boundary accumulate
+        # (1 B/byte of temp traffic) instead of building 8-byte repeat/
+        # arange index arrays PER PAYLOAD BYTE (~40 B/byte).
+        if bool(so[0] == 0) and int(so[-1] + ln[-1]) == len(src) \
+                and np.all(so[1:] == so[:-1] + ln[:-1]):
+            d = np.zeros(len(buf) + 1, dtype=np.int8)
+            d[dst0] = 1
+            d[dst0 + ln] -= 1   # dst segments never touch (headers between)
+            dmask = np.cumsum(d[:-1], dtype=np.int8).view(bool)
+            buf[dmask] = src
+        else:
+            grp = np.repeat(np.arange(len(rows_i)), ln)
+            grp_start = np.zeros(len(rows_i), dtype=np.int64)
+            np.cumsum(ln[:-1], out=grp_start[1:])
+            local = np.arange(int(ln.sum()), dtype=np.int64) - grp_start[grp]
+            buf[dst0[grp] + local] = src[src_off_row[rows_i][grp] + local]
 
     rows_p1 = np.flatnonzero(cat == CAT_P1)
     if len(rows_p1):
