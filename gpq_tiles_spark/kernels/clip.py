@@ -302,8 +302,8 @@ def clip_edge_segmented(pts: np.ndarray, offs: np.ndarray, axis: int,
         return pts.reshape(0, 2), offs.copy()
     pts = np.ascontiguousarray(pts, dtype=np.float64)
     sizes = np.diff(offs)
-    ring_id = np.repeat(np.arange(r, dtype=np.int64), sizes)
-    b = bounds[ring_id]
+    # per-point clip bound: direct repeat (no ring_id index array + gather)
+    b = np.repeat(np.asarray(bounds, dtype=np.float64), sizes)
     vals = pts[:, axis]
     inside = vals >= b if keep_ge else vals <= b
     # successor's inside flag = plain shift + per-ring wrap fixups; cheaper
@@ -314,13 +314,18 @@ def clip_edge_segmented(pts: np.ndarray, offs: np.ndarray, axis: int,
     ends = offs[1:][nonempty] - 1
     inside_nxt[ends] = inside[offs[:-1][nonempty]]
     crossing = inside != inside_nxt
-    counts = inside.astype(np.int64) + crossing
-    total = int(counts.sum())
-    out_sizes = np.bincount(ring_id, weights=counts, minlength=r).astype(np.int64)
-    out_offs = np.zeros(r + 1, dtype=np.int64)
-    np.cumsum(out_sizes, out=out_offs[1:])
-    pos = np.zeros(m, dtype=np.int64)
-    np.cumsum(counts[:-1], out=pos[1:])
+    # ONE exclusive cumsum of the per-point emission counts (0..2) yields
+    # both each point's output slot (pos) and every ring's output offset
+    # (cc[offs]) — replaces the old ring_id bincount (float64 weights!) +
+    # two separate cumsums
+    counts = inside.astype(np.uint8)
+    counts += crossing
+    cc = np.empty(m + 1, dtype=np.int64)
+    cc[0] = 0
+    np.cumsum(counts, dtype=np.int64, out=cc[1:])
+    total = int(cc[-1])
+    out_offs = cc[offs]
+    pos = cc[:-1]
     # view (x, y) rows as complex128 scalars: the hot gather/scatter of kept
     # vertices becomes 1-D element indexing (~2x faster than 2-D row fancy
     # indexing); bit layout is identical so output bytes are unchanged
@@ -331,16 +336,18 @@ def clip_edge_segmented(pts: np.ndarray, offs: np.ndarray, axis: int,
     ci = np.flatnonzero(crossing)
     if len(ci):
         # successor index only where a crossing actually happens: ci + 1,
-        # except ring-end points wrap to their own ring start
+        # except ring-end points wrap to their own ring start; ring lookup
+        # via binary search over offs (O(|ci| log r), no O(m) ring_id)
+        ring_ci = np.searchsorted(offs, ci, side="right") - 1
         nxt_ci = ci + 1
-        is_end = ci == offs[ring_id[ci] + 1] - 1
-        nxt_ci[is_end] = offs[ring_id[ci[is_end]]]
+        is_end = ci == offs[ring_ci + 1] - 1
+        nxt_ci[is_end] = offs[ring_ci[is_end]]
         c0 = pts[ci]
         c1 = pts[nxt_ci]
         t = (b[ci] - c0[:, axis]) / (c1[:, axis] - c0[:, axis])
         ip = c0 + t[:, None] * (c1 - c0)
         ip[:, axis] = b[ci]
-        out[(pos + inside.astype(np.int64))[ci]] = ip.view(np.complex128).ravel()
+        out[pos[ci] + inside[ci]] = ip.view(np.complex128).ravel()
     return out.view(np.float64).reshape(-1, 2), out_offs
 
 

@@ -364,14 +364,14 @@ def _quantize_zigzag_interleaved(coords: np.ndarray, gr: np.ndarray,
     par_den[:, 1] -= par_off[:, 1]
     off2 = np.repeat(par_off, npts, axis=0).reshape(-1)
     den2 = np.repeat(par_den, npts, axis=0).reshape(-1)
-    f = flat - off2
+    f = np.subtract(flat, off2, out=off2)   # reuse off2's buffer
     f /= den2
     # x slots: f*extent ; y slots: (1-f)*extent — strided in-place halves
     fy = f[1::2]
     np.subtract(1.0, fy, out=fy)
     f *= float(extent)
-    # round half away from zero (reuse off2 as scratch)
-    t = np.abs(f, out=off2)
+    # round half away from zero (reuse den2 as scratch)
+    t = np.abs(f, out=den2)
     t += 0.5
     np.floor(t, out=t)
     np.copysign(t, f, out=t)

@@ -242,9 +242,12 @@ def _finish_clip(clipped, z: int, max_zoom: int, extent: int,
 def _finish_poly_batch(clips: list, lng0s, lat0s, lng1s, lat1s,
                        z: int, max_zoom: int, extent: int,
                        fid: int) -> list:
-    """validate -> drop -> wkb for a BATCH of polygon clips (one feature,
-    many tiles) with segmented numpy math — the batched twin of
-    ``_finish_clip`` for POLYGON/MULTIPOLYGON clip outputs.
+    """validate -> drop -> wkb for a BATCH of polygon clips (many
+    (feature, tile) pairs — ring ownership is carried per clip, so one
+    call can serve every feature at a zoom) with segmented numpy math —
+    the batched twin of ``_finish_clip`` for POLYGON/MULTIPOLYGON clip
+    outputs. ``fid`` is accepted for signature parity but unused: the
+    diffuse-drop hash is coords-only (feature_drop.rs:129-293).
 
     Validity (validate.rs:195-275 semantics): every ring >= 4 points, part
     unsigned area >= 1e-10, multi downgraded to single when one part
@@ -884,19 +887,19 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                         t_lat0[mg_tiles] - mg_bufs,
                         t_lng1[mg_tiles] + mg_bufs,
                         t_lat1[mg_tiles] + mg_bufs)
-                    base_i = 0
-                    for r, poss in poly_batch.items():
-                        parr = np.asarray(poss, dtype=np.int64)
-                        clips = mg_clips[base_i:base_i + len(poss)]
-                        base_i += len(poss)
-                        ws = _finish_poly_batch(
-                            clips, t_lng0[parr], t_lat0[parr],
-                            t_lng1[parr], t_lat1[parr],
-                            z, max_zoom, extent, int(fid[r]))
-                        for pos, w in zip(poss, ws):
-                            if w is not None:
-                                keep_pos.append(pos)
-                                keep_wkb.append(w)
+                    # finish (validate/drop/wkb) in ONE segmented call for
+                    # every feature's boundary tiles at this zoom — the
+                    # math is per (part, tile) and the diffuse-drop hash is
+                    # coords-only, so results and emission order are
+                    # identical to the old per-feature loop
+                    ws = _finish_poly_batch(
+                        mg_clips, t_lng0[mg_tiles], t_lat0[mg_tiles],
+                        t_lng1[mg_tiles], t_lat1[mg_tiles],
+                        z, max_zoom, extent, 0)
+                    for pos, w in zip(mg_tiles, ws):
+                        if w is not None:
+                            keep_pos.append(int(pos))
+                            keep_wkb.append(w)
 
                 for r, poss in line_batch.items():
                     c = caches[r]
