@@ -590,7 +590,6 @@ def _batch_geom_fields(row_start: np.ndarray, row_npts: np.ndarray,
         cont = (nb[m] > k + 1).astype(np.uint8) << 7
         out[bpos[m] + k] = byte | cont
     # per-row byte ranges
-    row_end_vals = offs + per_row  # exclusive value index per row
     byte_off = bpos[offs]
     byte_end = np.empty(n_rows, dtype=np.int64)
     byte_end[:-1] = bpos[offs[1:]]

@@ -87,6 +87,34 @@ def compress(data: bytes, codec: int) -> bytes:
     raise NotImplementedError(f"compression codec {codec} not supported")
 
 
+def codec_backend(codec: int) -> str:
+    """Identity string of the library THIS process would use to compress
+    ``codec``. Compressed bytes are only guaranteed identical for the same
+    backend + version, so the sharded sink captures the driver's fingerprint
+    and each executor task asserts it matches before writing shard bytes —
+    a heterogeneous cluster image fails fast instead of silently breaking
+    the single-writer-vs-distributed byte-identity contract."""
+    import zlib
+
+    if codec == COMPRESSION_NONE:
+        return "none"
+    if codec == COMPRESSION_GZIP:
+        return f"zlib:{zlib.ZLIB_RUNTIME_VERSION}"
+    if codec == COMPRESSION_ZSTD:
+        if _zstd is not None:
+            libver = ".".join(map(str, getattr(_zstd, "ZSTD_VERSION", ())))
+            return (f"zstandard:{getattr(_zstd, '__version__', '?')}"
+                    f":libzstd:{libver or '?'}")
+        if _zstd_sys.available():
+            return f"libzstd:{_zstd_sys.version_number()}"
+        return "zstd:unavailable"
+    if codec == COMPRESSION_BROTLI:
+        if _brotli is not None:
+            return f"brotli:{getattr(_brotli, '__version__', '?')}"
+        return "brotli:unavailable"
+    return f"codec:{codec}"
+
+
 def decompress(data: bytes, codec: int) -> bytes:
     if codec == COMPRESSION_NONE:
         return data
@@ -485,6 +513,7 @@ class PMTilesReader:
         # (offset, length) -> (entries, tile_ids); insertion-ordered LRU
         self._leaf_cache: dict[tuple[int, int],
                                tuple[list[DirEntry], list[int]]] = {}
+        self._entries_cache: list[DirEntry] | None = None
         meta_raw = self.data[
             h.json_metadata_offset : h.json_metadata_offset + h.json_metadata_length
         ]
@@ -524,7 +553,14 @@ class PMTilesReader:
             hit = (leaf, [le.tile_id for le in leaf])
         self._leaf_cache[key] = hit  # (re-)insert as most recent
         if len(self._leaf_cache) > self._LEAF_CACHE_MAX:
-            self._leaf_cache.pop(next(iter(self._leaf_cache)))
+            # Eviction tolerates concurrent readers sharing one instance:
+            # the key may already be gone (pop default) or the dict may be
+            # mid-resize (guarded) — either way lookups stay correct, the
+            # cache just evicts on the next miss instead.
+            try:
+                self._leaf_cache.pop(next(iter(self._leaf_cache)), None)
+            except (StopIteration, RuntimeError):  # pragma: no cover
+                pass
         return hit
 
     def iter_entries(self):
@@ -540,10 +576,13 @@ class PMTilesReader:
 
     @property
     def entries(self) -> list[DirEntry]:
-        """Fully-expanded entry list (leaf pointers resolved). This
+        """Fully-expanded entry list (leaf pointers resolved), materialized
+        once on first access and cached so repeated reads stay O(1). This
         MATERIALIZES O(tiles) — fine for small archives and tests; at
         scale use ``iter_entries()`` / ``get_tile_bytes`` instead."""
-        return list(self.iter_entries())
+        if self._entries_cache is None:
+            self._entries_cache = list(self.iter_entries())
+        return self._entries_cache
 
     def tile_ids(self) -> list[int]:
         out: list[int] = []

@@ -74,6 +74,19 @@ def available() -> bool:
     return _load() is not None
 
 
+def version_number() -> int:
+    """libzstd's ZSTD_versionNumber() (e.g. 10506 for 1.5.6) — part of the
+    codec fingerprint the sharded sink uses to assert driver and executor
+    processes would produce identical compressed bytes."""
+    lib = _load()
+    if lib is None:
+        return 0
+    fn = lib.ZSTD_versionNumber
+    fn.restype = ctypes.c_uint
+    fn.argtypes = []
+    return int(fn())
+
+
 def compress(data: bytes, level: int = 3) -> bytes:
     lib = _load()
     if lib is None:

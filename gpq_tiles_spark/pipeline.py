@@ -1835,7 +1835,17 @@ def _encode_props_tile(tile_id: int, fids, msgs, items_per_feat,
                 live_kept = sum(1 for i in keep if msgs[i])
                 if charged <= max_tile_bytes or live_kept <= 1 or eff == 0:
                     break
-                eff = max(eff - (charged - max_tile_bytes), 0)
+                # Shrink by the overshoot, but ALSO drop below the kept
+                # set's cumulative pre-remap bytes (the mask's cumsum at its
+                # last kept record): a few-byte overshoot alone may not
+                # cross a cumsum boundary, re-running the same mask through
+                # an identical O(tile) rebuild many times. Capping at
+                # kept_bytes - 1 evicts >=1 live record per pass, so the
+                # loop converges in at most live_kept rebuilds (one or two
+                # in practice).
+                kept_bytes = int(flens[keep].sum())
+                eff = max(min(eff - (charged - max_tile_bytes),
+                              kept_bytes - 1), 0)
             if cap_stats is not None:
                 cap_stats[0] += 1
                 cap_stats[1] += int(n_feat - n_kept)
@@ -2324,7 +2334,8 @@ def _fold_coalesced_count(stats) -> int:
     return total
 
 
-def _make_shard_writer(shard_dir: str, codec: int):
+def _make_shard_writer(shard_dir: str, codec: int,
+                       expected_backend: str | None = None):
     """Per-partition shard writer: compresses tile blobs ON THE EXECUTORS
     (the single-writer convert() compresses every blob on the driver) and
     appends them to shard_{pid}.bin with in-shard dedup; emits 40-byte
@@ -2342,8 +2353,18 @@ def _make_shard_writer(shard_dir: str, codec: int):
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        from .kernels.pmtiles import compress
+        from .kernels.pmtiles import codec_backend, compress
 
+        if expected_backend is not None:
+            actual = codec_backend(codec)
+            if actual != expected_backend:
+                raise RuntimeError(
+                    "compression backend mismatch: driver planned "
+                    f"{expected_backend!r} but this executor has {actual!r}; "
+                    "shard bytes would not be byte-identical across the "
+                    "cluster — align the image (same zstd/zlib library and "
+                    "version on every node) and rerun"
+                )
         f = None
         pid = None
         tmp_path = None
@@ -2750,7 +2771,8 @@ def convert_sharded(features: DataFrame, output_path: str,
             tiles = encode_tiles(records, config, by_range=False)
         entries_df = tiles.withColumn(
             "pid", F.spark_partition_id()
-        ).mapInPandas(_make_shard_writer(shard_dir, codec),
+        ).mapInPandas(_make_shard_writer(shard_dir, codec,
+                                         P.codec_backend(codec)),
                       schema=SHARD_ENTRIES_SCHEMA)
         result = _finalize_sharded_distributed(
             entries_df, output_path, shard_dir, bounds, config, codec)
@@ -2773,7 +2795,8 @@ def convert_sharded(features: DataFrame, output_path: str,
     else:
         tiles = encode_tiles(records, config)
     entries_df = tiles.withColumn("pid", F.spark_partition_id()).mapInPandas(
-        _make_shard_writer(shard_dir, codec), schema=SHARD_ENTRIES_SCHEMA
+        _make_shard_writer(shard_dir, codec, P.codec_backend(codec)),
+        schema=SHARD_ENTRIES_SCHEMA,
     )
     rows = entries_df.collect()
     records.unpersist()

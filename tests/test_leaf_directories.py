@@ -414,3 +414,14 @@ def test_full_pipeline_leaf_scale_byte_identical(spark, tmp_path):
     assert hdr.leaf_dirs_length > 0
     r = PMTilesReader(p1)
     assert len(r.tile_ids()) == s1["tiles"]
+
+
+def test_reader_entries_property_cached(leaf_archive):
+    """entries materializes once and caches — repeated access must not
+    re-decompress every leaf (round-6 review), and callers get a stable
+    list object."""
+    path, _tiles = leaf_archive
+    rdr = PMTilesReader(path)
+    e1 = rdr.entries
+    assert rdr.entries is e1
+    assert len(e1) == N_LEAF

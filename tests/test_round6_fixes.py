@@ -336,3 +336,77 @@ def test_capped_props_tile_with_dead_records_terminates():
     assert len(lay["features"]) == 1
     # over budget is allowed ONLY via the never-empties-a-tile guarantee
     assert _charged_bytes(mvt, head, tail) > 8
+
+
+# ---------------------------------------------------------------------------
+# round-6 second-pass review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_codec_backend_fingerprint_stable():
+    """codec_backend is a pure, stable fingerprint per codec — the sharded
+    sink compares the driver's value against each executor's to fail fast
+    on heterogeneous images instead of silently diverging bytes."""
+    from gpq_tiles_spark.kernels import pmtiles as P
+    from gpq_tiles_spark.kernels import zstd_ctypes
+
+    assert P.codec_backend(P.COMPRESSION_NONE) == "none"
+    g1 = P.codec_backend(P.COMPRESSION_GZIP)
+    assert g1.startswith("zlib:") and g1 == P.codec_backend(P.COMPRESSION_GZIP)
+    z = P.codec_backend(P.COMPRESSION_ZSTD)
+    if zstd_ctypes.available():
+        assert z != "zstd:unavailable"
+        assert zstd_ctypes.version_number() > 0
+
+
+def test_shard_writer_rejects_backend_mismatch(tmp_path):
+    """A shard task whose process would compress with a different library
+    than the driver planned must raise BEFORE writing any shard bytes."""
+    from gpq_tiles_spark.kernels import pmtiles as P
+    from gpq_tiles_spark.pipeline import _make_shard_writer
+
+    pdf = pd.DataFrame({
+        "tile_id": [0], "z": [0], "content_hash": [1], "mvt": [b"\x1a\x00"],
+        "n_features": [1], "pid": [0],
+    })
+    bad = _make_shard_writer(str(tmp_path), P.COMPRESSION_GZIP,
+                             "zlib:some-other-version")
+    with pytest.raises(RuntimeError, match="backend mismatch"):
+        list(bad(iter([pdf])))
+    assert list(tmp_path.iterdir()) == []  # nothing written
+    # matching fingerprint writes normally
+    good = _make_shard_writer(str(tmp_path), P.COMPRESSION_GZIP,
+                              P.codec_backend(P.COMPRESSION_GZIP))
+    out = pd.concat(list(good(iter([pdf]))))
+    assert len(out) == 1 and (tmp_path / "shard_00000.bin").exists()
+
+
+def test_budget_recheck_converges_in_few_rebuilds(monkeypatch):
+    """The post-remap re-check must evict at least one live record per
+    pass (eff capped below the kept set's cumsum), not shrink eff by a
+    few-byte overshoot through many identical rebuilds."""
+    calls = [0]
+    from gpq_tiles_spark.kernels import drop as drop_mod
+
+    real_mask = drop_mod.tile_budget_keep_mask
+
+    def counting_mask(*a, **k):
+        calls[0] += 1
+        return real_mask(*a, **k)
+
+    monkeypatch.setattr(drop_mod, "tile_budget_keep_mask", counting_mask)
+    # 40 live features with 130+ distinct keys/values so surviving tag
+    # indexes can cross the 1-vs-2-byte varint boundary after remap
+    n = 40
+    fids = list(range(1, n + 1))
+    msgs = [b"\x12\x04\x08\x01\x18\x01"] * n
+    items = [_props((f"key_{i:03d}", f"val_{i:03d}")) for i in range(n)]
+    head, tail = b"\x0a\x01x", b"\x28\x80\x20\x78\x02"
+    full, _ = _encode_props_tile(7, fids, msgs, items, None, head, tail, None)
+    budget = (len(full) - 3) // 2  # force a deep cap
+    mvt, n_kept = _encode_props_tile(7, fids, msgs, items, None, head, tail,
+                                     budget)
+    assert _charged_bytes(mvt, head, tail) <= budget
+    # one mask per rebuild; convergence must be far under the old
+    # worst case (up to gap/overshoot ~ hundreds of passes)
+    assert calls[0] <= n
