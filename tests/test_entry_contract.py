@@ -71,12 +71,10 @@ def test_rows_only_queries_run(spark):
     oracles = entry_mod.oracle_sql()
     rows_only = [k for k in qs if k not in oracles]
     # minhash_neardup graduated to an oracle-backed recall invariant in r3;
-    # tile_pipeline_z8 graduated to the full-pyramid fmix64 oracle in r6 —
-    # only the Hilbert curve index itself has no DuckDB analog
-    assert set(rows_only) == {"hilbert_order"}
-    for name in rows_only:
-        n = qs[name](spark, SF_DIR).count()
-        assert n > 0, name
+    # tile_pipeline_z8 graduated to the full-pyramid fmix64 oracle in r6;
+    # hilbert_order graduated to the recursive-CTE xy2d oracle in r6 —
+    # EVERY query row is oracle-backed now
+    assert rows_only == []
 
 
 def test_fmix64_sql_bit_exact_vs_kernel():
