@@ -77,6 +77,14 @@ def _load():
             lib = ctypes.CDLL(cand)
             lib.XXH3_64bits.restype = ctypes.c_uint64
             lib.XXH3_64bits.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            # accept only a canonical XXH3 (spec constant for b"" plus one
+            # multi-size probe); a patched/experimental build must not
+            # silently diverge from the pure fallback on other nodes
+            if lib.XXH3_64bits(b"", 0) != 0x2D06800538D394C2:
+                continue
+            probe = bytes(range(256)) * 5
+            if lib.XXH3_64bits(probe, len(probe)) != xxh3_64_py(probe):
+                continue
         except (OSError, AttributeError):
             continue
         _lib = lib
