@@ -88,29 +88,43 @@ def compress(data: bytes, codec: int) -> bytes:
 
 
 def codec_backend(codec: int) -> str:
-    """Identity string of the library THIS process would use to compress
+    """Identity string of the stack THIS process would use to compress
     ``codec``. Compressed bytes are only guaranteed identical for the same
     backend + version, so the sharded sink captures the driver's fingerprint
     and each executor task asserts it matches before writing shard bytes —
     a heterogeneous cluster image fails fast instead of silently breaking
-    the single-writer-vs-distributed byte-identity contract."""
+    the single-writer-vs-distributed byte-identity contract.
+
+    The fingerprint ends with a digest of an ACTUAL probe compression, so
+    it covers the entire producer stack — e.g. two nodes with identical
+    zlib runtime versions can still emit different gzip HEADER bytes
+    (CPython's gzip module wrote OS=0xFF through 3.10 while zlib's
+    compile-time OS_CODE is platform-dependent); only probing catches
+    that. Returns "<codec>:unavailable" when this process cannot compress
+    the codec at all (the caller decides whether that is fatal)."""
+    import hashlib
     import zlib
 
     if codec == COMPRESSION_NONE:
         return "none"
+
+    def probed(prefix: str) -> str:
+        d = hashlib.sha256(compress(b"gpq-tiles codec probe", codec))
+        return f"{prefix}:probe:{d.hexdigest()[:16]}"
+
     if codec == COMPRESSION_GZIP:
-        return f"zlib:{zlib.ZLIB_RUNTIME_VERSION}"
+        return probed(f"zlib:{zlib.ZLIB_RUNTIME_VERSION}")
     if codec == COMPRESSION_ZSTD:
         if _zstd is not None:
             libver = ".".join(map(str, getattr(_zstd, "ZSTD_VERSION", ())))
-            return (f"zstandard:{getattr(_zstd, '__version__', '?')}"
-                    f":libzstd:{libver or '?'}")
+            return probed(f"zstandard:{getattr(_zstd, '__version__', '?')}"
+                          f":libzstd:{libver or '?'}")
         if _zstd_sys.available():
-            return f"libzstd:{_zstd_sys.version_number()}"
+            return probed(f"libzstd:{_zstd_sys.version_number()}")
         return "zstd:unavailable"
     if codec == COMPRESSION_BROTLI:
         if _brotli is not None:
-            return f"brotli:{getattr(_brotli, '__version__', '?')}"
+            return probed(f"brotli:{getattr(_brotli, '__version__', '?')}")
         return "brotli:unavailable"
     return f"codec:{codec}"
 
@@ -513,7 +527,7 @@ class PMTilesReader:
         # (offset, length) -> (entries, tile_ids); insertion-ordered LRU
         self._leaf_cache: dict[tuple[int, int],
                                tuple[list[DirEntry], list[int]]] = {}
-        self._entries_cache: list[DirEntry] | None = None
+        self._entries_cache: tuple[DirEntry, ...] | None = None
         meta_raw = self.data[
             h.json_metadata_offset : h.json_metadata_offset + h.json_metadata_length
         ]
@@ -575,13 +589,14 @@ class PMTilesReader:
                 yield from leaf
 
     @property
-    def entries(self) -> list[DirEntry]:
-        """Fully-expanded entry list (leaf pointers resolved), materialized
-        once on first access and cached so repeated reads stay O(1). This
+    def entries(self) -> tuple[DirEntry, ...]:
+        """Fully-expanded entries (leaf pointers resolved), materialized
+        once on first access and cached so repeated reads stay O(1). A
+        TUPLE, so callers can't silently mutate the shared cache. This
         MATERIALIZES O(tiles) — fine for small archives and tests; at
         scale use ``iter_entries()`` / ``get_tile_bytes`` instead."""
         if self._entries_cache is None:
-            self._entries_cache = list(self.iter_entries())
+            self._entries_cache = tuple(self.iter_entries())
         return self._entries_cache
 
     def tile_ids(self) -> list[int]:

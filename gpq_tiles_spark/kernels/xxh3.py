@@ -67,12 +67,11 @@ def _load():
         return _lib
     _lib_tried = True
     name = ctypes.util.find_library("xxhash")
-    candidates = [name] if name else []
-    candidates += ["libxxhash.so.0", "libxxhash.so", "libxxhash.0.dylib",
-                   "libxxhash.dylib"]
+    candidates = dict.fromkeys(  # ordered, de-duplicated
+        ([name] if name else [])
+        + ["libxxhash.so.0", "libxxhash.so", "libxxhash.0.dylib",
+           "libxxhash.dylib"])
     for cand in candidates:
-        if not cand:
-            continue
         try:
             lib = ctypes.CDLL(cand)
             lib.XXH3_64bits.restype = ctypes.c_uint64

@@ -2334,6 +2334,18 @@ def _fold_coalesced_count(stats) -> int:
     return total
 
 
+def _planned_codec_backend(codec: int) -> str | None:
+    """The driver's codec fingerprint for the shard writer's executor-side
+    assertion — or None when the DRIVER can't compress this codec at all
+    (legal in sharded mode: the driver only gzips root/meta, tile bytes
+    are compressed on executors; an executor that also lacks the codec
+    fails in compress() with its own clear error)."""
+    from .kernels import pmtiles as P
+
+    fp = P.codec_backend(codec)
+    return None if fp.endswith(":unavailable") else fp
+
+
 def _make_shard_writer(shard_dir: str, codec: int,
                        expected_backend: str | None = None):
     """Per-partition shard writer: compresses tile blobs ON THE EXECUTORS
@@ -2772,7 +2784,7 @@ def convert_sharded(features: DataFrame, output_path: str,
         entries_df = tiles.withColumn(
             "pid", F.spark_partition_id()
         ).mapInPandas(_make_shard_writer(shard_dir, codec,
-                                         P.codec_backend(codec)),
+                                         _planned_codec_backend(codec)),
                       schema=SHARD_ENTRIES_SCHEMA)
         result = _finalize_sharded_distributed(
             entries_df, output_path, shard_dir, bounds, config, codec)
@@ -2795,7 +2807,7 @@ def convert_sharded(features: DataFrame, output_path: str,
     else:
         tiles = encode_tiles(records, config)
     entries_df = tiles.withColumn("pid", F.spark_partition_id()).mapInPandas(
-        _make_shard_writer(shard_dir, codec, P.codec_backend(codec)),
+        _make_shard_writer(shard_dir, codec, _planned_codec_backend(codec)),
         schema=SHARD_ENTRIES_SCHEMA,
     )
     rows = entries_df.collect()

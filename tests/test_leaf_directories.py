@@ -418,10 +418,11 @@ def test_full_pipeline_leaf_scale_byte_identical(spark, tmp_path):
 
 def test_reader_entries_property_cached(leaf_archive):
     """entries materializes once and caches — repeated access must not
-    re-decompress every leaf (round-6 review), and callers get a stable
-    list object."""
+    re-decompress every leaf (round-6 review) — and it is an immutable
+    TUPLE so no caller can corrupt the shared cache in place."""
     path, _tiles = leaf_archive
     rdr = PMTilesReader(path)
     e1 = rdr.entries
     assert rdr.entries is e1
+    assert isinstance(e1, tuple)
     assert len(e1) == N_LEAF

@@ -410,3 +410,18 @@ def test_budget_recheck_converges_in_few_rebuilds(monkeypatch):
     # one mask per rebuild; convergence must be far under the old
     # worst case (up to gap/overshoot ~ hundreds of passes)
     assert calls[0] <= n
+
+
+def test_planned_backend_none_when_driver_lacks_codec(monkeypatch):
+    """Sharded mode never compresses tiles on the driver, so a driver
+    image without zstd must NOT fail the executor assertion — the planned
+    fingerprint degrades to None (check skipped; an executor that also
+    lacks the codec raises its own clear error in compress())."""
+    from gpq_tiles_spark import pipeline as pl
+    from gpq_tiles_spark.kernels import pmtiles as P
+
+    monkeypatch.setattr(P, "_zstd", None)
+    monkeypatch.setattr(P._zstd_sys, "available", lambda: False)
+    assert pl._planned_codec_backend(P.COMPRESSION_ZSTD) is None
+    gz = pl._planned_codec_backend(P.COMPRESSION_GZIP)
+    assert gz is not None and ":probe:" in gz

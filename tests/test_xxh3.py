@@ -87,11 +87,9 @@ def test_reference_dedup_test_string():
 
 @pytest.mark.skipif(not lib_available(), reason="no system libxxhash")
 def test_pure_matches_system_library_exhaustive():
-    import ctypes
+    from gpq_tiles_spark.kernels import xxh3 as X
 
-    lib = ctypes.CDLL("libxxhash.so.0")
-    lib.XXH3_64bits.restype = ctypes.c_uint64
-    lib.XXH3_64bits.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib = X._load()  # the already-resolved handle, whatever its soname
     rng = random.Random(42)
     for n in list(range(0, 600)) + [1024 * k + d for k in (1, 2, 3, 7)
                                     for d in (-65, -1, 0, 1, 63, 64, 65)]:
