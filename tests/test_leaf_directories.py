@@ -426,3 +426,33 @@ def test_reader_entries_property_cached(leaf_archive):
     assert rdr.entries is e1
     assert isinstance(e1, tuple)
     assert len(e1) == N_LEAF
+
+
+def test_reader_concurrent_lookups_through_lru(leaf_archive):
+    """Threads sharing one reader hammer get_tile_bytes across leaf
+    boundaries with a tiny LRU — eviction must never raise (round-6
+    review: pop with default + guarded eviction) and every lookup must
+    return the right bytes."""
+    import threading
+
+    path, tiles = leaf_archive
+    rdr = PMTilesReader(path)
+    rdr._LEAF_CACHE_MAX = 1  # force constant eviction churn
+    idxs = [0, 1, 4095, 4096, 4097, N_LEAF // 2, N_LEAF - 1]
+    errors = []
+
+    def worker(seed):
+        try:
+            for k in range(120):
+                tid, z, x, y, mvt, _h = tiles[idxs[(seed + k) % len(idxs)]]
+                got = rdr.get_tile_bytes(tid)
+                assert got == mvt
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
