@@ -71,18 +71,21 @@ def _load():
         ([name] if name else [])
         + ["libxxhash.so.0", "libxxhash.so", "libxxhash.0.dylib",
            "libxxhash.dylib"])
+    # accept only a canonical XXH3 (spec constant for b"" plus one
+    # multi-size probe vs the pure fallback); a patched/experimental
+    # build must not silently diverge from pure-fallback nodes
+    probe = bytes(range(256)) * 5
+    probe_want = None  # computed lazily, once, only if a lib loads
     for cand in candidates:
         try:
             lib = ctypes.CDLL(cand)
             lib.XXH3_64bits.restype = ctypes.c_uint64
             lib.XXH3_64bits.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
-            # accept only a canonical XXH3 (spec constant for b"" plus one
-            # multi-size probe); a patched/experimental build must not
-            # silently diverge from the pure fallback on other nodes
             if lib.XXH3_64bits(b"", 0) != 0x2D06800538D394C2:
                 continue
-            probe = bytes(range(256)) * 5
-            if lib.XXH3_64bits(probe, len(probe)) != xxh3_64_py(probe):
+            if probe_want is None:
+                probe_want = xxh3_64_py(probe)
+            if lib.XXH3_64bits(probe, len(probe)) != probe_want:
                 continue
         except (OSError, AttributeError):
             continue
