@@ -403,8 +403,11 @@ def _q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpq_tiles_spark.kernels import hilbert as H
     from gpq_tiles_spark.kernels import tile_math as T
 
+    from gpq_tiles_spark.partitioning import spread_small_input
+
     _register(spark, sf_dir)
-    pts = spark.sql(f"SELECT event_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events")
+    pts = spread_small_input(spark.sql(
+        f"SELECT event_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events"))
 
     def add_key(batches):
         for pdf in batches:
@@ -517,9 +520,14 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
+    from gpq_tiles_spark.partitioning import spread_small_input
+
     _register(spark, sf_dir)
     emb = spark.table("embeddings").select("vec_id", "embedding")
     probes = emb.where(F.col("vec_id") < 5).collect()
+    # spread the scoring side: one unsplittable file would serialize the
+    # Arrow-batched dot-product kernel on one core (guide §2.5)
+    emb = spread_small_input(emb)
     p_ids = np.array([r.vec_id for r in probes], dtype=np.int64)
     p_mat = np.array([r.embedding for r in probes], dtype=np.float64)
     schema = StructType([
@@ -805,12 +813,24 @@ def _q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _event_features(spark)
     cfg = TilerConfig(min_zoom=6, max_zoom=6, shuffle_partitions=8)
     grids = rasterize_points(fanout_records(feats, cfg), zoom=6)
-    return grids.select(
-        F.col("x").alias("tx"),
-        F.col("y").alias("ty"),
-        F.aggregate("grid", F.lit(0).cast("long"), lambda a, v: a + v)
-        .alias("n_points"),
-    )
+
+    # numpy grid sum instead of F.aggregate: Catalyst's higher-order
+    # aggregate is interpreted per element (~17M steps for 4k tiles x 4k
+    # cells); one vectorized np.sum per tile is the same integers
+    import pandas as pd
+
+    def tot(batches):
+        import numpy as np
+
+        for pdf in batches:
+            g = pdf["grid"].to_numpy()
+            sums = np.fromiter((int(np.sum(a)) for a in g),
+                               dtype=np.int64, count=len(g))
+            yield pd.DataFrame({"tx": pdf["x"], "ty": pdf["y"],
+                                "n_points": sums})
+
+    return grids.select("x", "y", "grid").mapInPandas(
+        tot, schema="tx long, ty long, n_points long")
 
 
 def _q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,10 +1146,16 @@ def _event_features(spark: SparkSession,
     extra_sql = "".join(
         f", {expr} AS {name}" for name, expr in (extra_cols or {}).items()
     )
-    pts = spark.sql(
+    from gpq_tiles_spark.partitioning import spread_small_input
+
+    # the events table is one unsplittable row group: spread it so the WKB
+    # build and everything downstream parallelize (guide §2.5); the tile
+    # pipelines re-key by tile_id behind a shuffle, so results are
+    # partitioning-invariant
+    pts = spread_small_input(spark.sql(
         f"SELECT event_id AS feature_id, {EVENT_LNG} AS lng, "
         f"{EVENT_LAT} AS lat{extra_sql} FROM events"
-    )
+    ))
 
     schema = StructType([
         StructField("feature_id", LongType()),

@@ -24,6 +24,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..partitioning import spread_small_input
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -394,7 +396,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     is exclusively ubiquitous grams, which a threshold >= 0.8 filter would
     reject anyway.
     """
-    grams = df.select(
+    grams = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(

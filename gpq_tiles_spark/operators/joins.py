@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 
 from ..kernels import geom as G
 from ..kernels import pip as PIPK
+from ..partitioning import spread_small_input
 from . import cells as C
 
 
@@ -92,7 +93,10 @@ def point_in_polygon_join(points: DataFrame, zones: DataFrame,
     cover = polygon_cell_cover(zones, zone_wkb, zone_id, zoom)
     if broadcast_zones:
         cover = F.broadcast(cover)
-    pts = C.with_cell_column(points.select(point_id, lng, lat), lng, lat, zoom)
+    # under-partitioned point input (one unsplittable file) would serialize
+    # the candidate join AND the ray-cast refine on one core (guide §2.5)
+    pts = C.with_cell_column(
+        spread_small_input(points.select(point_id, lng, lat)), lng, lat, zoom)
     cand = pts.join(cover, "cell").select(point_id, lng, lat, "zone_id")
 
     # refine: group candidates by zone, run the vectorized kernel once per
@@ -191,7 +195,8 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
             "probes a DataFrame end-to-end."
         )
     pts = C.with_cell_column(
-        points.select(F.col(point_id).alias("point_id"), "lng", "lat"),
+        spread_small_input(
+            points.select(F.col(point_id).alias("point_id"), "lng", "lat")),
         "lng", "lat", zoom,
     ).cache()
     p_ids = [r[0] for r in probe_rows]
@@ -280,7 +285,8 @@ def knn_join_distributed(points: DataFrame, probes: DataFrame, k: int,
     session should ``result.unpersist()`` when done with the result.
     """
     pts = C.with_cell_column(
-        points.select(F.col(point_id).alias("point_id"), "lng", "lat"),
+        spread_small_input(
+            points.select(F.col(point_id).alias("point_id"), "lng", "lat")),
         "lng", "lat", zoom,
     ).cache()
     _persisted: list[DataFrame] = [pts]

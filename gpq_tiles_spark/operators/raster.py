@@ -63,8 +63,23 @@ def rasterize_points(records: DataFrame, zoom: int, grid_size: int = 64) -> Data
 
     lo = _base_id(zoom) + 1 if zoom > 0 else 0
     hi = _base_id(zoom) + 4**zoom if zoom > 0 else 0
-    pts = records.where(F.col("tile_id").between(lo, hi))
-    shuffled = pts.repartitionByRange("tile_id").sortWithinPartitions("tile_id")
+    # project to the two columns the grid kernel reads BEFORE the exchange
+    # (z/x/y re-derive from tile_id) — guide §2.3, shuffle fewer bytes
+    pts = records.where(F.col("tile_id").between(lo, hi)).select(
+        "tile_id", "wkb")
+    # hash co-location + in-partition sort: the run grouping only needs
+    # each tile contiguous WITHIN a partition, not global tile order, and
+    # dropping repartitionByRange removes its range-boundary SAMPLING JOB —
+    # which executed the entire upstream fan-out a second time (guide §2.4,
+    # same reasoning as encode_tiles by_range=False). The partition count
+    # is pinned to the session's shuffle parallelism: AQE would otherwise
+    # coalesce by the SHUFFLED bytes, but this stage's output (gs^2 cells
+    # per tile) is ~30x its input, so input-sized coalescing serializes
+    # the grid build and its Arrow transfer on a handful of tasks.
+    sess_parts = int(records.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    shuffled = pts.repartition(sess_parts, "tile_id").sortWithinPartitions(
+        "tile_id")
 
     def grids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hold: pd.DataFrame | None = None
@@ -85,12 +100,60 @@ def rasterize_points(records: DataFrame, zoom: int, grid_size: int = 64) -> Data
 
 
 def _grid_chunk(pdf: pd.DataFrame, grid_size: int) -> pd.DataFrame:
+    """Per-tile density grids for one (tile_id-contiguous) chunk.
+
+    Fast path (round 7): when every record is a 21-byte little-endian
+    POINT WKB — the dominant rasterize input — the whole chunk decodes as
+    ONE numpy buffer view and all tiles' histograms come from ONE
+    bincount over (tile_seq, cell) flat indices; the previous per-point
+    ``G.from_wkb`` Python loop (~100k scalar decodes per chunk) and the
+    per-tile ``.tolist()`` (16M+ Python ints per chunk at z6) are gone.
+    Values are bit-identical: the geo->cell expressions apply the same
+    IEEE ops elementwise, and bincount counts the same indices add.at
+    counted. Mixed/odd geometry falls back to the per-tile loop."""
     from ..kernels.hilbert import tile_id_to_zxy_vec
 
     tid = pdf["tile_id"].to_numpy()
     starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     ends = np.append(starts[1:], len(tid))
     g_z, g_x, g_y = tile_id_to_zxy_vec(tid[starts])
+
+    wkbs = pdf["wkb"].to_numpy()
+    n = len(wkbs)
+    gs = grid_size
+    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=n)
+    fast = n > 0 and bool((lens == 21).all()) and bool(
+        (g_z == g_z[0]).all())
+    if fast:
+        buf = np.frombuffer(b"".join(bytes(w) for w in wkbs),
+                            dtype=np.uint8).reshape(n, 21)
+        fast = bool((buf[:, 0] == 1).all()) and bool(
+            (buf[:, 1] == G.POINT).all()) and bool((buf[:, 2:5] == 0).all())
+    if fast:
+        xy = buf[:, 5:21].reshape(-1).view("<f8").reshape(n, 2)
+        lng0_t, lat0_t, lng1_t, lat1_t = T.tile_bounds(g_x, g_y, int(g_z[0]))
+        counts = ends - starts
+        lng0 = np.repeat(lng0_t, counts)
+        lat0 = np.repeat(lat0_t, counts)
+        lng1 = np.repeat(lng1_t, counts)
+        lat1 = np.repeat(lat1_t, counts)
+        gx = np.clip((xy[:, 0] - lng0) / (lng1 - lng0) * gs, 0, gs - 1e-9)
+        gy = np.clip((1.0 - (xy[:, 1] - lat0) / (lat1 - lat0)) * gs,
+                     0, gs - 1e-9)
+        tile_seq = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        flat = (tile_seq * (gs * gs)
+                + gy.astype(np.int64) * gs + gx.astype(np.int64))
+        hist = np.bincount(flat, minlength=len(starts) * gs * gs)
+        hist = hist.astype(np.int64, copy=False).reshape(len(starts), gs * gs)
+        return pd.DataFrame({
+            "tile_id": tid[starts],
+            "z": g_z.astype(np.int32),
+            "x": g_x,
+            "y": g_y,
+            "grid": list(hist),
+            "grid_size": np.full(len(starts), gs, dtype=np.int32),
+        })
+
     rows = {k: [] for k in ("tile_id", "z", "x", "y", "grid", "grid_size")}
     for gi, (s, e) in enumerate(zip(starts, ends)):
         z = int(g_z[gi])

@@ -65,6 +65,7 @@ from .kernels import tile_math as T
 from .kernels import validate as VK
 from .kernels import hashes as HK
 from .kernels.hashes import content_hash64, siphash13_coords
+from .partitioning import spread_small_input
 
 # narrow shuffle rows: (z, x, y) are derivable from tile_id (the cumulative
 # Hilbert id is self-describing), so the one wide shuffle carries 24 fewer
@@ -1161,7 +1162,7 @@ def encode_tiles_premerge(features: DataFrame, config: TilerConfig,
     consumer needs globally tile-ordered partitions), reduce-side wrap.
     The single shared constructor for every premerge plan in the repo —
     bench, contract queries, and the sharded sink all call this."""
-    msgs = features.mapInPandas(
+    msgs = spread_small_input(features).mapInPandas(
         make_fanout_encoded(config, metrics), schema=MSG_RECORDS_SCHEMA)
     parts = num_partitions or config.shuffle_partitions
     if by_range:
@@ -2107,7 +2108,7 @@ def encode_tiles_premerge_props(features: DataFrame, config: TilerConfig,
     corpora get the same ~2.6x vertex-dense premerge win as the
     propertyless path (round 5; previously write_properties forced the
     WKB-shuffling layout)."""
-    msgs = features.mapInPandas(
+    msgs = spread_small_input(features).mapInPandas(
         make_fanout_encoded_props(config, metrics), schema=MSG_PROPS_SCHEMA)
     parts = num_partitions or config.shuffle_partitions
     if by_range:
