@@ -1105,26 +1105,35 @@ def _q_tile_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         for e in rdr.iter_entries()  # lazy: one decoded leaf at a time
         for k in range(max(e.run_length, 1))
     ]
-    df = spark.createDataFrame(rows, "tile_id long, off long, len long")
+    import numpy as np
+
+    pdf_rows = pd.DataFrame(rows, columns=["tile_id", "off", "len"],
+                            dtype=np.int64)
+    df = spark.createDataFrame(pdf_rows)
 
     def dec(batches):
-        from gpq_tiles_spark.kernels import hilbert as Hk
+        from gpq_tiles_spark.kernels.hilbert import tile_id_to_zxy_vec
         from gpq_tiles_spark.kernels.mvt import decode_tile
         from gpq_tiles_spark.kernels.pmtiles import Header, HEADER_SIZE, decompress
 
         with open(out, "rb") as f:
             hdr = Header.from_bytes(f.read(HEADER_SIZE))
+            f.seek(0)
+            import mmap
+
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            base = hdr.tile_data_offset
             for pdf in batches:
-                txs, tys, ns = [], [], []
-                for r in pdf.itertuples(index=False):
-                    f.seek(hdr.tile_data_offset + r.off)
-                    raw = decompress(f.read(r.len), hdr.tile_compression)
-                    lay = decode_tile(raw)[0]
-                    _z, x, y = Hk.tile_id_to_zxy(int(r.tile_id))
-                    txs.append(x)
-                    tys.append(y)
-                    ns.append(len(lay["features"]))
-                yield pd.DataFrame({"tx": txs, "ty": tys, "n_points": ns})
+                tids = pdf["tile_id"].to_numpy(dtype=np.int64)
+                offs = pdf["off"].to_numpy(dtype=np.int64) + base
+                lens = pdf["len"].to_numpy(dtype=np.int64)
+                _z, xs, ys = tile_id_to_zxy_vec(tids)
+                ns = np.empty(len(tids), dtype=np.int64)
+                for i in range(len(tids)):
+                    raw = decompress(mm[offs[i]:offs[i] + lens[i]],
+                                     hdr.tile_compression)
+                    ns[i] = len(decode_tile(raw)[0]["features"])
+                yield pd.DataFrame({"tx": xs, "ty": ys, "n_points": ns})
 
     return df.mapInPandas(dec, schema="tx long, ty long, n_points long")
 

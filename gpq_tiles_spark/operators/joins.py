@@ -215,7 +215,13 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
     min_cell_h = float(np.minimum(np.abs(lat_max_c - lat_min_c), cell_w).min())
 
     spark = points.sparkSession
-    r = 1
+    # r starts at 2, not 1 (round 7): the done-bound at radius r is
+    # ((r-1)*min_cell_h)^2, which is 0.0 at r=1 — that round can only
+    # resolve when the kth distance is exactly 0, and in that case the
+    # r=2 top-k is the identical row set (disk(2) contains disk(1) and the
+    # ordering tie-breaks on point_id). Starting at 2 removes one full
+    # join+window+collect Spark round from every call.
+    r = 2
     while True:
         idx, cells = C.grid_disk(p_cell, r, zoom)
         cand_cells = spark.createDataFrame(
@@ -236,24 +242,27 @@ def knn_join(points: DataFrame, probes: DataFrame, k: int,
             .where(F.col("rnk") <= k)
             .select("probe_id", "rnk", "point_id", F.col("d").alias("dist"))
         )
-        stats = (
-            topk.groupBy("probe_id")
-            .agg(F.count("*").alias("cnt"), F.max("dist").alias("kth"))
-            .collect()
-        )
+        # ONE collect per round: the top-k rows themselves are the
+        # (n_probes x k)-bounded driver payload this variant already
+        # accepts, and the resolve stats (count, kth distance) fold out of
+        # them driver-side — the separate stats aggregation job is gone
+        # (round 7; guide §1.2). Collecting here also releases the points
+        # cache as soon as the last round finishes.
+        rows = topk.collect()
         bound = ((r - 1) * min_cell_h) ** 2 if r > 1 else 0.0
-        have = {s["probe_id"]: s for s in stats}
+        cnt: dict = {}
+        kth: dict = {}
+        for row in rows:
+            p = row["probe_id"]
+            cnt[p] = cnt.get(p, 0) + 1
+            d = row["dist"]
+            if p not in kth or d > kth[p]:
+                kth[p] = d
         done = all(
-            pid in have and have[pid]["cnt"] >= k and have[pid]["kth"] <= bound
+            cnt.get(pid, 0) >= k and kth[pid] <= bound
             for pid in (int(p) if isinstance(p, np.integer) else p for p in p_ids)
         )
         if done or r >= max_radius:
-            # materialize the (n_probes x k)-row result locally so the
-            # cell-indexed points cache can be released NOW — returning the
-            # lazy plan instead would leak pts.cache() for the session
-            # (the round-2 knn_join_distributed leak, same class). This is
-            # the documented driver-loop variant: n_probes is small.
-            rows = topk.collect()
             pts.unpersist()
             return spark.createDataFrame(rows, schema=topk.schema)
         r *= 2

@@ -1858,6 +1858,154 @@ def _encode_props_tile(tile_id: int, fids, msgs, items_per_feat,
     return b"\x1a" + _varint(len(layer)) + layer, n_feat
 
 
+def _encode_props_tiles_chunk(tid, fid, msgs, props_list, starts, ends,
+                              prop_filter, head: bytes, tail: bytes,
+                              max_tile_bytes: int | None,
+                              cap_stats: list | None = None
+                              ) -> tuple[list, list]:
+    """Every tile of one (tile_id-sorted) chunk encoded with REAL tags in
+    vectorized passes — the round-7 replacement for calling
+    ``_encode_props_tile`` once per tile, whose per-tile fixed cost
+    (np.fromiter + factorize + cumsum over 2-entry tiles) dominated the
+    premerge-props reduce stage at high zooms (tens of thousands of tiny
+    tiles per chunk). Byte-identical by construction and by test:
+
+    * per-tile interning in first-appearance order comes from ONE
+      pd.factorize over (tile, global-code) pairs — entries are
+      tile-contiguous, so each tile's combined codes form a contiguous
+      block and ``code - block_base`` IS the tile-local dictionary index;
+    * all tag varints fill one shared buffer in one _fill_varints pass;
+    * dictionary entry bytes are encoded once per DISTINCT key/value in
+      the chunk and reused across tiles (the same bytes `_len_delim`
+      produced per tile before);
+    * only tiles that exceed ``max_tile_bytes`` fall back to the exact
+      per-tile ``_encode_props_tile`` budget loop.
+
+    Returns (mvt bytes per tile, n_features per tile), aligned with
+    ``starts``."""
+    from .kernels.mvt import _len_delim, _varint
+
+    n = len(fid)
+    n_tiles = len(starts)
+    items_pf = props_list
+    # dead records never contribute to the dictionary (mirrors
+    # _encode_props_tile's masking)
+    if any(not m for m in msgs):
+        items_pf = [it if m else None for m, it in zip(msgs, items_pf)]
+    if prop_filter is not None:
+        items_pf = [None if it is None else prop_filter(list(it))
+                    for it in items_pf]
+    lens = np.fromiter((0 if it is None else len(it) for it in items_pf),
+                       dtype=np.int64, count=n)
+    total = int(lens.sum())
+
+    counts_t = ends - starts
+    if total == 0:
+        tag_bytes: list = [b""] * n
+        keys_per_tile: list = [[] for _ in range(n_tiles)]
+        vals_per_tile: list = [[] for _ in range(n_tiles)]
+        kd_lens = vd_lens = None
+    else:
+        from .kernels.mvt_fast import _fill_varints, _varint_nb
+
+        # props cells arrive as numpy object arrays from Arrow — explicit
+        # None/len checks, a bare truthiness test raises on ndarrays
+        keys_flat = [e["key"] for it in items_pf
+                     if it is not None and len(it) for e in it]
+        vals_flat = [bytes(e["val"]) for it in items_pf
+                     if it is not None and len(it) for e in it]
+        kcodes_g, kuniq_g = pd.factorize(np.asarray(keys_flat, dtype=object))
+        vcodes_g, vuniq_g = pd.factorize(np.asarray(vals_flat, dtype=object))
+        K, V = len(kuniq_g), len(vuniq_g)
+        tile_of_feat = np.repeat(np.arange(n_tiles, dtype=np.int64), counts_t)
+        tile_of_entry = np.repeat(tile_of_feat, lens)
+        ckc, cku = pd.factorize(tile_of_entry * K + kcodes_g.astype(np.int64))
+        cvc, cvu = pd.factorize(tile_of_entry * V + vcodes_g.astype(np.int64))
+        ent_counts_t = np.zeros(n_tiles, dtype=np.int64)
+        np.add.at(ent_counts_t, tile_of_feat, lens)
+        ent_start_t = np.concatenate(([0], np.cumsum(ent_counts_t)[:-1]))
+        has = ent_counts_t > 0
+        base_t = np.zeros(n_tiles, dtype=np.int64)
+        base_t[has] = ckc[ent_start_t[has]]
+        vbase_t = np.zeros(n_tiles, dtype=np.int64)
+        vbase_t[has] = cvc[ent_start_t[has]]
+        inter = np.empty(2 * total, dtype=np.int64)
+        inter[0::2] = ckc - base_t[tile_of_entry]
+        inter[1::2] = cvc - vbase_t[tile_of_entry]
+        nb = _varint_nb(inter)
+        byte_pos = np.concatenate(([0], np.cumsum(nb)))
+        buf = np.zeros(int(byte_pos[-1]), dtype=np.uint8)
+        _fill_varints(buf, byte_pos[:-1], inter, nb)
+        payload = buf.tobytes()
+        ends_e = np.cumsum(lens)
+        feat_b0 = byte_pos[2 * (ends_e - lens)]
+        feat_b1 = byte_pos[2 * ends_e]
+        tag_bytes = [
+            b"" if s == e else b"\x12" + _varint(e - s) + payload[s:e]
+            for s, e in zip(feat_b0.tolist(), feat_b1.tolist())
+        ]
+        # per-tile dictionaries: unique combined codes are tile-contiguous
+        # in first-appearance (code) order
+        ku_tile = cku // K
+        ku_g = cku % K
+        vu_tile = cvu // V
+        vu_g = cvu % V
+        kspan = np.concatenate(
+            ([0], np.cumsum(np.bincount(ku_tile, minlength=n_tiles))))
+        vspan = np.concatenate(
+            ([0], np.cumsum(np.bincount(vu_tile, minlength=n_tiles))))
+        kd_g = [_len_delim(3, k.encode("utf-8")) for k in kuniq_g]
+        vd_g = [_len_delim(4, v) for v in vuniq_g]
+        kd_glens = np.fromiter((len(b) for b in kd_g), dtype=np.int64,
+                               count=K)
+        vd_glens = np.fromiter((len(b) for b in vd_g), dtype=np.int64,
+                               count=V)
+        keys_per_tile = [
+            [kd_g[g] for g in ku_g[kspan[t]:kspan[t + 1]].tolist()]
+            for t in range(n_tiles)
+        ]
+        vals_per_tile = [
+            [vd_g[g] for g in vu_g[vspan[t]:vspan[t + 1]].tolist()]
+            for t in range(n_tiles)
+        ]
+        kd_lens = np.add.reduceat(
+            np.concatenate((kd_glens[ku_g], [0])),
+            kspan[:-1]) * (kspan[1:] > kspan[:-1])
+        vd_lens = np.add.reduceat(
+            np.concatenate((vd_glens[vu_g], [0])),
+            vspan[:-1]) * (vspan[1:] > vspan[:-1])
+
+    parts = [
+        b"" if not m else (_splice_tags(m, int(fv), tb) if tb else m)
+        for m, fv, tb in zip(msgs, fid, tag_bytes)
+    ]
+    flens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n)
+    tile_bytes = np.add.reduceat(
+        np.concatenate((flens, [0])), starts) * (counts_t > 0)
+    if kd_lens is not None:
+        tile_bytes = tile_bytes + kd_lens + vd_lens
+    over = (np.zeros(n_tiles, dtype=bool) if max_tile_bytes is None
+            else tile_bytes > max_tile_bytes)
+
+    mvts: list = []
+    n_feats: list = []
+    for t in range(n_tiles):
+        s, e = int(starts[t]), int(ends[t])
+        if over[t]:
+            mvt, n_kept = _encode_props_tile(
+                int(tid[s]), fid[s:e], msgs[s:e], props_list[s:e],
+                prop_filter, head, tail, max_tile_bytes, cap_stats)
+            mvts.append(mvt)
+            n_feats.append(n_kept)
+            continue
+        layer = (head + b"".join(parts[s:e])
+                 + b"".join(keys_per_tile[t]) + b"".join(vals_per_tile[t])
+                 + tail)
+        mvts.append(b"\x1a" + _varint(len(layer)) + layer)
+        n_feats.append(e - s)
+    return mvts, n_feats
+
+
 def make_props_encoder(config: TilerConfig,
                        metrics: PipelineMetrics | None = None):
     """Tile encoder that writes REAL per-feature MVT tags with layer-level
@@ -1886,27 +2034,25 @@ def make_props_encoder(config: TilerConfig,
         head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
         tail = b"\x28" + _varint(extent) + b"\x78\x02"
         props_list = pdf["props"].tolist()
-        max_tile_bytes = config.max_tile_bytes
         cap_stats = [0, 0]
-        rows = {k: [] for k in ("tile_id", "z", "x", "y", "n_features",
-                                "mvt", "content_hash")}
-        for gi, (s, e) in enumerate(zip(starts, ends)):
-            mvt, n_feat = _encode_props_tile(
-                int(tid[s]), fid[s:e], msgs[s:e], props_list[s:e],
-                prop_filter, head, tail, max_tile_bytes, cap_stats)
-            rows["tile_id"].append(int(tid[s]))
-            rows["z"].append(int(g_z[gi]))
-            rows["x"].append(int(g_x[gi]))
-            rows["y"].append(int(g_y[gi]))
-            rows["n_features"].append(n_feat)
-            rows["mvt"].append(mvt)
-            rows["content_hash"].append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+        mvts, n_feats = _encode_props_tiles_chunk(
+            tid, fid, msgs, props_list, starts, ends, prop_filter,
+            head, tail, config.max_tile_bytes, cap_stats)
         if acc_tiles is not None:
-            acc_tiles.add(len(rows["tile_id"]))
+            acc_tiles.add(len(starts))
         if metrics is not None and cap_stats[0]:
             metrics.tiles_capped.add(cap_stats[0])
             metrics.records_capped.add(cap_stats[1])
-        return pd.DataFrame(rows)
+        return pd.DataFrame({
+            "tile_id": tid[starts],
+            "z": g_z.astype(np.int32),
+            "x": g_x,
+            "y": g_y,
+            "n_features": np.asarray(n_feats, dtype=np.int64),
+            "mvt": mvts,
+            "content_hash": [content_hash64(m) & 0x7FFF_FFFF_FFFF_FFFF
+                             for m in mvts],
+        })
 
     return _run_carry(encode_chunk)
 
@@ -2074,25 +2220,24 @@ def make_wrap_props_encoder(config: TilerConfig,
         head = b"\x0a" + _varint(len(layer_name)) + layer_name.encode()
         tail = b"\x28" + _varint(extent) + b"\x78\x02"
         cap_stats = [0, 0]
-        rows = {k: [] for k in ("tile_id", "z", "x", "y", "n_features",
-                                "mvt", "content_hash")}
-        for gi, (s, e) in enumerate(zip(starts, ends)):
-            mvt, n_feat = _encode_props_tile(
-                int(tid[s]), fid[s:e], msgs[s:e], props_list[s:e],
-                prop_filter, head, tail, max_tile_bytes, cap_stats)
-            rows["tile_id"].append(int(tid[s]))
-            rows["z"].append(int(g_z[gi]))
-            rows["x"].append(int(g_x[gi]))
-            rows["y"].append(int(g_y[gi]))
-            rows["n_features"].append(n_feat)
-            rows["mvt"].append(mvt)
-            rows["content_hash"].append(content_hash64(mvt) & 0x7FFF_FFFF_FFFF_FFFF)
+        mvts, n_feats = _encode_props_tiles_chunk(
+            tid, fid, msgs, props_list, starts, ends, prop_filter,
+            head, tail, max_tile_bytes, cap_stats)
         if acc_tiles is not None:
-            acc_tiles.add(len(rows["tile_id"]))
+            acc_tiles.add(len(starts))
         if metrics is not None and cap_stats[0]:
             metrics.tiles_capped.add(cap_stats[0])
             metrics.records_capped.add(cap_stats[1])
-        return pd.DataFrame(rows)
+        return pd.DataFrame({
+            "tile_id": tid[starts],
+            "z": g_z.astype(np.int32),
+            "x": g_x,
+            "y": g_y,
+            "n_features": np.asarray(n_feats, dtype=np.int64),
+            "mvt": mvts,
+            "content_hash": [content_hash64(m) & 0x7FFF_FFFF_FFFF_FFFF
+                             for m in mvts],
+        })
 
     return _run_carry(wrap_chunk)
 
@@ -2433,6 +2578,156 @@ def _make_shard_writer(shard_dir: str, codec: int,
     return write
 
 
+def driver_finalize_max_entries() -> int:
+    """Addressed-entry count below which the sharded sink assembles the
+    archive driver-side (one Arrow collect + numpy) instead of running the
+    distributed directory/winner choreography. 40-byte entry rows: the
+    2M default is ~130 MB of driver arrays — far under any sane driver
+    heap — while 10^8-tile archives still take the distributed path.
+    Env knob GPQ_DRIVER_FINALIZE_MAX_ENTRIES overrides (0 disables)."""
+    import os
+
+    return int(os.environ.get("GPQ_DRIVER_FINALIZE_MAX_ENTRIES", "2000000"))
+
+
+def _finalize_entries_driver(pdf: pd.DataFrame, output_path: str,
+                             shard_dir: str, bounds: tuple,
+                             config: TilerConfig, codec: int,
+                             total_features: int, zmin: int,
+                             zmax: int) -> dict:
+    """Driver-side sharded-archive finalize over one collected entry frame
+    — byte-identical to ``_finalize_sharded_distributed`` (same winner
+    rule: min-tile_id first occurrence per (content_hash, raw_len); same
+    data order: winners concatenated in winner-tile order; same directory
+    bytes: one DirectoryBuilder.add over the run-coalesced arrays, which
+    equals the chunked adds by test). All set-up work is vectorized numpy;
+    no per-entry Python objects beyond the final blob-copy loop."""
+    import os as _os
+    import tempfile
+
+    from .kernels import pmtiles as P
+    from .kernels.pmtiles import coalesce_runs_arrays
+
+    order = np.argsort(pdf["tile_id"].to_numpy(), kind="stable")
+    tid = pdf["tile_id"].to_numpy()[order]
+    zs = pdf["z"].to_numpy()[order]
+    nfeat = pdf["n_features"].to_numpy()[order]
+    key = np.empty(len(tid), dtype=[("h", "<i8"), ("l", "<i8")])
+    key["h"] = pdf["content_hash"].to_numpy()[order]
+    key["l"] = pdf["raw_len"].to_numpy()[order]
+    # unique (hash, raw_len) pairs: first_idx = first occurrence in tile
+    # order (== the distributed groupBy's min-tile_id winner); inverse maps
+    # each entry to its pair
+    _, first_idx, inverse = np.unique(key, return_index=True,
+                                      return_inverse=True)
+    n_blobs = len(first_idx)
+    # winners in ascending winner-tile order (== data concat order)
+    perm = np.argsort(first_idx, kind="stable")
+    win_rank = np.empty(n_blobs, dtype=np.int64)
+    win_rank[perm] = np.arange(n_blobs)
+    win_idx = first_idx[perm]
+    win_blen = pdf["blob_len"].to_numpy()[order][win_idx]
+    win_loff = pdf["local_off"].to_numpy()[order][win_idx]
+    win_pid = pdf["pid"].to_numpy()[order][win_idx]
+    win_off = np.concatenate(([0], np.cumsum(win_blen[:-1])))
+    data_len = int(win_blen.sum())
+
+    rank = win_rank[inverse]
+    ent_off = win_off[rank]
+    ent_len = win_blen[rank]
+    ct, co, cl, cr = coalesce_runs_arrays(tid, ent_off, ent_len)
+
+    leaf_tmp = tempfile.TemporaryFile()
+    try:
+        builder = P.DirectoryBuilder(len(ct), P.COMPRESSION_GZIP,
+                                     spill=leaf_tmp,
+                                     leaf_max_entries=config.leaf_max_entries)
+        builder.add(ct, co, cl, cr)
+        root_dir_bytes, _, n_coalesced = builder.finish()
+        leaf_len = builder.leaf_length
+
+        zcounts = np.zeros(int(zs.max()) + 1, dtype=np.int64)
+        np.add.at(zcounts, zs, nfeat)
+        features_per_zoom = {
+            int(z): int(zcounts[z]) for z in np.flatnonzero(zcounts)
+        }
+        root_dir = P.compress(root_dir_bytes, P.COMPRESSION_GZIP)
+        tilestats = {
+            "total_features": total_features,
+            "features_per_zoom": {str(k): v for k, v in
+                                  sorted(features_per_zoom.items())},
+        }
+        meta = P.compress(
+            P.metadata_json(config.layer_name, config.min_zoom,
+                            config.max_zoom, config.layer_fields or {},
+                            tilestats),
+            P.COMPRESSION_GZIP,
+        )
+        leaf_base = P.HEADER_SIZE + len(root_dir) + len(meta)
+        hdr = P.Header(
+            root_dir_offset=P.HEADER_SIZE,
+            root_dir_length=len(root_dir),
+            json_metadata_offset=P.HEADER_SIZE + len(root_dir),
+            json_metadata_length=len(meta),
+            leaf_dirs_offset=leaf_base if leaf_len else 0,
+            leaf_dirs_length=leaf_len,
+            tile_data_offset=leaf_base + leaf_len,
+            tile_data_length=data_len,
+            addressed_tiles_count=len(tid),
+            tile_entries_count=n_coalesced,
+            tile_contents_count=n_blobs,
+            clustered=True,
+            internal_compression=P.COMPRESSION_GZIP,
+            tile_compression=codec,
+            tile_type=P.TILETYPE_MVT,
+            min_zoom=zmin,
+            max_zoom=zmax,
+            min_lon=bounds[0],
+            min_lat=bounds[1],
+            max_lon=bounds[2],
+            max_lat=bounds[3],
+        )
+        with open(output_path, "wb") as out_f:
+            out_f.write(hdr.to_bytes())
+            out_f.write(root_dir)
+            out_f.write(meta)
+            if leaf_len:
+                import shutil
+
+                leaf_tmp.seek(0)
+                shutil.copyfileobj(leaf_tmp, out_f, length=1 << 20)
+            from collections import OrderedDict
+
+            handles: OrderedDict[int, object] = OrderedDict()
+            try:
+                for i in range(n_blobs):
+                    p = int(win_pid[i])
+                    sf = handles.get(p)
+                    if sf is None:
+                        if len(handles) >= 64:
+                            _, old = handles.popitem(last=False)
+                            old.close()
+                        sf = handles[p] = open(_os.path.join(
+                            shard_dir, f"shard_{p:05d}.bin"), "rb")
+                    else:
+                        handles.move_to_end(p)
+                    sf.seek(int(win_loff[i]))
+                    out_f.write(sf.read(int(win_blen[i])))
+            finally:
+                for sf in handles.values():
+                    sf.close()
+    finally:
+        leaf_tmp.close()
+    return {
+        "tiles": len(tid),
+        "features": total_features,
+        "min_zoom": zmin,
+        "max_zoom": zmax,
+        "unique_blobs": n_blobs,
+        "bounds": bounds,
+    }
+
+
 def _finalize_sharded_distributed(entries_df: DataFrame,
                                   output_path: str, shard_dir: str,
                                   bounds: tuple, config: TilerConfig,
@@ -2470,6 +2765,22 @@ def _finalize_sharded_distributed(entries_df: DataFrame,
     total_features = int(agg[3] or 0)
     zmin = int(agg[1]) if agg[1] is not None else config.min_zoom
     zmax = int(agg[2]) if agg[2] is not None else config.max_zoom
+
+    if 0 < n_addressed <= driver_finalize_max_entries():
+        # small archive: the distributed assembly's value is bounded driver
+        # memory at 10^8+ tiles, but it costs ~8 extra Spark jobs (winner
+        # groupBy, prefix-sum collect, directory range shuffle + sampling,
+        # chunk persist + stats + toLocalIterator streams). Below the entry
+        # threshold (40-byte rows; the default 2M ≈ 130 MB of driver
+        # arrays) ONE Arrow collect plus vectorized numpy assembly produces
+        # byte-identical output with none of that choreography (guide
+        # §1.2: remove passes outright). Threshold is env-parameterised —
+        # GPQ_DRIVER_FINALIZE_MAX_ENTRIES=0 forces the distributed path.
+        pdf = entries.toPandas()
+        entries.unpersist()
+        return _finalize_entries_driver(
+            pdf, output_path, shard_dir, bounds, config, codec,
+            total_features, zmin, zmax)
 
     root_dir_bytes = b""
     n_coalesced = 0
@@ -2723,13 +3034,25 @@ def convert_sharded(features: DataFrame, output_path: str,
             "shard_dir= on shared storage (visible to executors and driver)."
         )
     if bounds is None:
-        row = features.agg(
-            F.min("lng_min"), F.min("lat_min"), F.max("lng_max"), F.max("lat_max")
-        ).collect()[0]
+        # the bounds pass already scans every feature — piggyback the
+        # premerge-auto payload statistic on the same job instead of
+        # running _resolve_premerge's separate take(2048) (guide §1.2:
+        # remove whole passes). The global mean replaces the first-2048
+        # mean; the choice only pins WHICH plan runs (bytes are identical
+        # on either layout) and stays deterministic for a fixed input.
+        agg_cols = [F.min("lng_min"), F.min("lat_min"),
+                    F.max("lng_max"), F.max("lat_max")]
+        want_auto = premerge == "auto"
+        if want_auto:
+            agg_cols.append(F.avg(F.length("wkb")))
+        row = features.agg(*agg_cols).collect()[0]
         if row[0] is None:
             bounds = (-180.0, -85.0511287798066, 180.0, 85.0511287798066)
         else:
             bounds = (row[0], row[1], row[2], row[3])
+        if want_auto:
+            premerge = bool(row[4] is not None
+                            and row[4] >= PREMERGE_AUTO_WKB_BYTES)
 
     from pyspark import StorageLevel
 
