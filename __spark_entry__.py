@@ -403,11 +403,9 @@ def _q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpq_tiles_spark.kernels import hilbert as H
     from gpq_tiles_spark.kernels import tile_math as T
 
-    from gpq_tiles_spark.partitioning import spread_small_input
-
     _register(spark, sf_dir)
-    pts = spread_small_input(spark.sql(
-        f"SELECT event_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events"))
+    pts = spark.sql(
+        f"SELECT event_id, {EVENT_LNG} AS lng, {EVENT_LAT} AS lat FROM events")
 
     def add_key(batches):
         for pdf in batches:
@@ -520,14 +518,9 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from gpq_tiles_spark.partitioning import spread_small_input
-
     _register(spark, sf_dir)
     emb = spark.table("embeddings").select("vec_id", "embedding")
     probes = emb.where(F.col("vec_id") < 5).collect()
-    # spread the scoring side: one unsplittable file would serialize the
-    # Arrow-batched dot-product kernel on one core (guide §2.5)
-    emb = spread_small_input(emb)
     p_ids = np.array([r.vec_id for r in probes], dtype=np.int64)
     p_mat = np.array([r.embedding for r in probes], dtype=np.float64)
     schema = StructType([
@@ -1155,16 +1148,14 @@ def _event_features(spark: SparkSession,
     extra_sql = "".join(
         f", {expr} AS {name}" for name, expr in (extra_cols or {}).items()
     )
-    from gpq_tiles_spark.partitioning import spread_small_input
-
-    # the events table is one unsplittable row group: spread it so the WKB
-    # build and everything downstream parallelize (guide §2.5); the tile
-    # pipelines re-key by tile_id behind a shuffle, so results are
-    # partitioning-invariant
-    pts = spread_small_input(spark.sql(
+    # NOT spread here (measured, round 7): the WKB build is one cheap
+    # vectorized pass, and the premerge/fan-out constructors already
+    # spread their own input where that pays; an extra exchange before
+    # the build measured net-slower on every tile query
+    pts = spark.sql(
         f"SELECT event_id AS feature_id, {EVENT_LNG} AS lng, "
         f"{EVENT_LAT} AS lat{extra_sql} FROM events"
-    ))
+    )
 
     schema = StructType([
         StructField("feature_id", LongType()),

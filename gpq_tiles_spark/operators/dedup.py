@@ -407,6 +407,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             )
         ).alias("gram"),
     )
+    # the gram explode feeds FIVE consumers (hot counts, both self-join
+    # sides, sizes, hot-overlap); without a persist each one re-runs the
+    # scan + substr chain + explode (guide §5: reuse justifies caching).
+    # The result is materialized before returning so the cache can be
+    # released here — same pattern as knn_join_distributed.
+    grams = grams.persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
 
     # candidate generation on rare grams only (the hot set is small by
@@ -419,22 +425,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     rare = grams.join(F.broadcast(hot_grams), "gram", "left_anti")
     ra = rare.alias("ra")
     rb = rare.alias("rb")
-    cand = (
+    # candidate generation and rare-gram intersection in ONE aggregation
+    # (round 7): each raw join row is one shared rare gram, so
+    # count-per-pair IS |rare(a) ∩ rare(b)| — the former
+    # distinct-then-rejoin-all-grams verify recomputed exactly this while
+    # shuffling the raw pair explosion twice (guide §2.3: aggregate before
+    # you shuffle). The candidate pair set is unchanged: pairs sharing >=1
+    # rare gram.
+    inter_rare = (
         ra.join(rb, (F.col("ra.gram") == F.col("rb.gram"))
                 & (F.col("ra.doc_id") < F.col("rb.doc_id")))
-        .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("ra.doc_id").alias("doc_a"),
+                 F.col("rb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_rare"))
     )
-
-    # exact verify: full-gram intersection, computed only for candidates
-    a = grams.alias("a")
-    b = grams.alias("b")
+    # the TRUE intersection adds the hot-gram overlap, computed against
+    # the small hot set only (per-doc hot-gram lists are bounded by the
+    # hot set's own size, which is <= n_docs/max_df buckets)
+    hg = grams.join(F.broadcast(hot_grams), "gram")
     inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("b.doc_id"))
-              & (F.col("a.gram") == F.col("b.gram")))
+        inter_rare
+        .join(hg.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"), "left")
+        .join(hg.alias("hb"), (F.col("doc_b") == F.col("hb.doc_id"))
+              & (F.col("ha.gram") == F.col("hb.gram")), "left")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg((F.first("n_rare")
+              + F.count(F.col("hb.gram"))).alias("n_common"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -449,4 +465,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .where(F.col("jaccard") >= threshold)
     )
+    # materialize into the result's own cache, then drop the gram cache —
+    # callers owning a long-lived session should out.unpersist() when done
+    out = out.persist()
+    out.count()
+    grams.unpersist()
     return out

@@ -88,21 +88,41 @@ def point_in_polygon_join(points: DataFrame, zones: DataFrame,
                           broadcast_zones: bool = True) -> DataFrame:
     """Exact PIP join -> (point_id, lng, lat, zone_id). ``zoom='auto'``
     (default) sizes the cell grid to the zones (see auto_cover_zoom)."""
-    if zoom == "auto":
-        zoom = auto_cover_zoom(zones, zone_wkb)
-    cover = polygon_cell_cover(zones, zone_wkb, zone_id, zoom)
+    zmap = None
     if broadcast_zones:
-        cover = F.broadcast(cover)
+        # the broadcastable-zones path collects the zone table anyway (the
+        # refine kernel needs every polygon on every executor) — so build
+        # the cell cover driver-side from that ONE collect instead of
+        # paying a mapInPandas job for it plus a second collect (round 7;
+        # guide §1.2). The cover rows are identical to polygon_cell_cover.
+        zrows = zones.select(zone_id, zone_wkb).collect()
+        zmap = {r[0]: bytes(r[1]) for r in zrows}
+        if zoom == "auto":
+            widths = [
+                max(G.bbox(G.from_wkb(w))[2] - G.bbox(G.from_wkb(w))[0], 1e-9)
+                for w in list(zmap.values())[:512]
+            ]
+            zoom = (int(np.clip(np.floor(np.log2(360.0 / float(np.median(widths)))),
+                                0, 18)) if widths else 9)
+        ids, cells_out = [], []
+        for zid, wkb in zmap.items():
+            x0, y0, x1, y1 = G.bbox(G.from_wkb(wkb))
+            _, cc = C.cover_bbox_cells([x0], [y0], [x1], [y1], zoom)
+            ids.extend([zid] * len(cc))
+            cells_out.extend(cc.tolist())
+        cover = F.broadcast(points.sparkSession.createDataFrame(
+            pd.DataFrame({"zone_id": pd.Series(ids, dtype=object),
+                          "cell": pd.Series(cells_out, dtype=np.int64)}),
+            schema="zone_id string, cell long"))
+    else:
+        if zoom == "auto":
+            zoom = auto_cover_zoom(zones, zone_wkb)
+        cover = polygon_cell_cover(zones, zone_wkb, zone_id, zoom)
     # under-partitioned point input (one unsplittable file) would serialize
     # the candidate join AND the ray-cast refine on one core (guide §2.5)
     pts = C.with_cell_column(
         spread_small_input(points.select(point_id, lng, lat)), lng, lat, zoom)
     cand = pts.join(cover, "cell").select(point_id, lng, lat, "zone_id")
-
-    # refine: group candidates by zone, run the vectorized kernel once per
-    # (zone, batch) with the polygon decoded a single time
-    zmap = {r[0]: bytes(r[1]) for r in zones.select(zone_id, zone_wkb).collect()} \
-        if broadcast_zones else None
 
     schema = StructType(
         [

@@ -30,6 +30,27 @@ def _default_driver_mem() -> str:
     return f"{min(24, max(4, int(total_gb / 5)))}g"
 
 
+def _daemon_module() -> str | None:
+    """Resolve the pre-importing worker daemon (worker_daemon.py). The
+    daemon subprocess must be able to import this package, so the package
+    parent dir is pushed onto PYTHONPATH (inherited by the JVM and thus by
+    the daemon it spawns). Returns None — keeping the stock daemon — only
+    if that cannot be arranged; a broken daemon module would fail every
+    Python stage, so this is deliberately conservative.
+    Opt out with SPARK_GRAFT_NO_DAEMON_PRELOAD=1."""
+    if os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD"):
+        return None
+    try:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cur = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in cur.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + cur if cur else ""))
+        return "gpq_tiles_spark.worker_daemon"
+    except Exception:  # pragma: no cover - defensive
+        return None
+
+
 def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -56,6 +77,12 @@ def get_spark(app: str = "gpq-tiles-spark", cores: int | None = None,
         .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
     )
+    # pre-importing worker daemon: forked Python workers inherit warm
+    # numpy/pandas/pyarrow + kernel modules via copy-on-write instead of
+    # each paying the import on its first task (guide §4.5)
+    daemon = _daemon_module()
+    if daemon:
+        b = b.config("spark.python.daemon.module", daemon)
     # opt-in stage-level profiling: SPARK_GRAFT_EVENTLOG=/path/dir writes
     # the standard Spark event log there (parse offline for stage timings)
     ev = os.environ.get("SPARK_GRAFT_EVENTLOG")
