@@ -397,6 +397,12 @@ def knn_join_distributed(points: DataFrame, probes: DataFrame, k: int,
         if last:
             rounds.append(topk.drop("bound"))
             break
+        # topk feeds the resolve stats AND this round's result slice; cache
+        # it so the disk-explode + cell join + window chain runs once per
+        # round instead of once per consumer (round 7; released below with
+        # the other intermediates)
+        topk = topk.persist()
+        _persisted.append(topk)
         stats = (
             topk.groupBy("probe_id")
             .agg(F.count("*").alias("cnt"), F.max("dist").alias("kth"),
