@@ -725,7 +725,7 @@ def _q_tile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
-    cfg = TilerConfig(min_zoom=0, max_zoom=8)
+    cfg = TilerConfig(min_zoom=0, max_zoom=8, shuffle_partitions=8)
     # premerge production plan: map-side message encode, ONE hash shuffle
     # of small framed messages, reduce-side wrap (no persist needed — the
     # fan-out runs exactly once as the shuffle map stage)
@@ -804,7 +804,7 @@ def _q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
-    cfg = TilerConfig(min_zoom=6, max_zoom=6)
+    cfg = TilerConfig(min_zoom=6, max_zoom=6, shuffle_partitions=8)
     grids = rasterize_points(fanout_records(feats, cfg), zoom=6)
 
     # numpy grid sum instead of F.aggregate: Catalyst's higher-order
@@ -981,7 +981,7 @@ def _q_tile_records_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
-    cfg = TilerConfig(min_zoom=8, max_zoom=8)
+    cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
     tiles = encode_tiles_premerge(feats, cfg)
     return tiles.select(
         F.col("x").alias("tx"),
@@ -1031,7 +1031,7 @@ def _q_tile_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     featp = encode_props_column(feats, ["category", "magnitude"]).select(
         "feature_id", "doc_id", "span_offset", "wkb", "geom_type",
         "lng_min", "lat_min", "lng_max", "lat_max", "props")
-    cfg = TilerConfig(min_zoom=8, max_zoom=8,
+    cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8,
                       write_properties=True)
     tiles = encode_tiles_premerge_props(featp, cfg)
 
@@ -1081,7 +1081,7 @@ def _q_tile_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     feats = _event_features(spark)
-    cfg = TilerConfig(min_zoom=8, max_zoom=8)
+    cfg = TilerConfig(min_zoom=8, max_zoom=8, shuffle_partitions=8)
     # pid-keyed path: two concurrent harness sessions on one host must not
     # clobber each other's archive while the lazy decode pass reads it
     out = (f"/tmp/gpq_contract_archive_"
