@@ -54,10 +54,11 @@ def command_decode(c: int) -> tuple[int, int]:
 def round_half_away(x: np.ndarray) -> np.ndarray:
     """Rust f64::round: ties away from zero (numpy rounds half-to-even).
 
-    copysign(floor(|x| + 0.5), x) — same values as the branchy
-    where(x>=0, floor(x+0.5), ceil(x-0.5)) form on every input (including
-    -0.0, where it matches Rust bit-for-bit), with 3 array passes
-    instead of 6."""
+    copysign(floor(|x| + 0.5), x) — matches Rust f64::round bit-for-bit,
+    in 3 array passes. It differs from the previous branchy
+    where(x>=0, ...) form only in the SIGN of zero for x in (-0.5, -0.0]
+    (this form returns -0.0 where the old one returned +0.0); every
+    caller casts to int64 immediately, which erases the distinction."""
     x = np.asarray(x, dtype=np.float64)
     t = np.abs(x)
     t += 0.5

@@ -524,9 +524,16 @@ class PMTilesReader:
         root = self.data[h.root_dir_offset : h.root_dir_offset + h.root_dir_length]
         self._root = decode_directory(decompress(root, h.internal_compression))
         self._root_ids = [e.tile_id for e in self._root]
-        # (offset, length) -> (entries, tile_ids); insertion-ordered LRU
+        # (offset, length) -> (entries, tile_ids); insertion-ordered LRU.
+        # A lock makes the size bound exact for concurrent readers sharing
+        # one instance (ADVICE r6: the unguarded dict could transiently
+        # exceed the cap and redundantly re-decode leaves). Decode happens
+        # outside the lock; only the dict mutation is serialized.
+        import threading
+
         self._leaf_cache: dict[tuple[int, int],
                                tuple[list[DirEntry], list[int]]] = {}
+        self._leaf_lock = threading.Lock()
         self._entries_cache: tuple[DirEntry, ...] | None = None
         meta_raw = self.data[
             h.json_metadata_offset : h.json_metadata_offset + h.json_metadata_length
@@ -552,29 +559,26 @@ class PMTilesReader:
         leaf-section-relative range. Raises on nested leaves (spec limits
         directories to two levels)."""
         key = (offset, length)
-        hit = self._leaf_cache.pop(key, None)
-        if hit is None:
-            h = self.header
-            raw = self.data[
-                h.leaf_dirs_offset + offset
-                : h.leaf_dirs_offset + offset + length
-            ]
-            leaf = decode_directory(decompress(raw, h.internal_compression))
-            if any(le.run_length == 0 for le in leaf):
-                raise ValueError(
-                    "nested leaf directories are not valid PMTiles v3"
-                )
-            hit = (leaf, [le.tile_id for le in leaf])
-        self._leaf_cache[key] = hit  # (re-)insert as most recent
-        if len(self._leaf_cache) > self._LEAF_CACHE_MAX:
-            # Eviction tolerates concurrent readers sharing one instance:
-            # the key may already be gone (pop default) or the dict may be
-            # mid-resize (guarded) — either way lookups stay correct, the
-            # cache just evicts on the next miss instead.
-            try:
-                self._leaf_cache.pop(next(iter(self._leaf_cache)), None)
-            except (StopIteration, RuntimeError):  # pragma: no cover
-                pass
+        with self._leaf_lock:
+            hit = self._leaf_cache.pop(key, None)
+            if hit is not None:
+                self._leaf_cache[key] = hit  # re-insert as most recent
+                return hit
+        h = self.header
+        raw = self.data[
+            h.leaf_dirs_offset + offset
+            : h.leaf_dirs_offset + offset + length
+        ]
+        leaf = decode_directory(decompress(raw, h.internal_compression))
+        if any(le.run_length == 0 for le in leaf):
+            raise ValueError(
+                "nested leaf directories are not valid PMTiles v3"
+            )
+        hit = (leaf, [le.tile_id for le in leaf])
+        with self._leaf_lock:
+            self._leaf_cache[key] = hit
+            while len(self._leaf_cache) > self._LEAF_CACHE_MAX:
+                self._leaf_cache.pop(next(iter(self._leaf_cache)))
         return hit
 
     def iter_entries(self):

@@ -868,9 +868,10 @@ def make_fanout(config: TilerConfig, metrics: PipelineMetrics | None = None):
                 # edge passes per zoom across ALL features' boundary tiles
                 # (clip.polygons_tiles_clip_multi — the kernel is agnostic
                 # to ring ownership); byte-identical to the per-pair
-                # clip_geometry loop. Finish (validate/drop/wkb) stays
-                # per feature — it needs the feature's fid for the
-                # diffuse-drop hash.
+                # clip_geometry loop. The finish step (validate/drop/wkb)
+                # is batched across the zoom too (_finish_poly_batch —
+                # the drop hash is coords-only, so no per-feature fid is
+                # needed).
                 if poly_batch:
                     mg_feats = list(poly_batch.keys())
                     mg_geoms = [caches[r]["geom"] for r in mg_feats]
@@ -2492,6 +2493,33 @@ def _planned_codec_backend(codec: int) -> str | None:
     return None if fp.endswith(":unavailable") else fp
 
 
+def _expected_codec_backend(features: DataFrame, codec: int) -> str | None:
+    """Backend fingerprint the shard writers must all match. Normally the
+    driver's own (``_planned_codec_backend``); when the driver lacks the
+    codec entirely (legal in sharded mode — tiles compress on executors),
+    probe ONE executor for its fingerprint so the cross-executor agreement
+    assertion stays armed instead of silently disabling (ADVICE r6). If no
+    executor has the codec either, the writer's compress() fails with its
+    own clear error."""
+    fp = _planned_codec_backend(codec)
+    if fp is not None:
+        return fp
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels.pmtiles import codec_backend
+
+        for pdf in batches:
+            yield pd.DataFrame({"fp": [codec_backend(codec)]})
+
+    try:
+        rows = (features.sparkSession.range(1)
+                .mapInPandas(probe, schema="fp string").collect())
+    except Exception:  # pragma: no cover - probe is best-effort
+        return None
+    got = rows[0]["fp"] if rows else None
+    return None if (got is None or got.endswith(":unavailable")) else got
+
+
 def _make_shard_writer(shard_dir: str, codec: int,
                        expected_backend: str | None = None):
     """Per-partition shard writer: compresses tile blobs ON THE EXECUTORS
@@ -3108,7 +3136,8 @@ def convert_sharded(features: DataFrame, output_path: str,
         entries_df = tiles.withColumn(
             "pid", F.spark_partition_id()
         ).mapInPandas(_make_shard_writer(shard_dir, codec,
-                                         _planned_codec_backend(codec)),
+                                         _expected_codec_backend(features,
+                                                                 codec)),
                       schema=SHARD_ENTRIES_SCHEMA)
         result = _finalize_sharded_distributed(
             entries_df, output_path, shard_dir, bounds, config, codec)
@@ -3131,7 +3160,8 @@ def convert_sharded(features: DataFrame, output_path: str,
     else:
         tiles = encode_tiles(records, config)
     entries_df = tiles.withColumn("pid", F.spark_partition_id()).mapInPandas(
-        _make_shard_writer(shard_dir, codec, _planned_codec_backend(codec)),
+        _make_shard_writer(shard_dir, codec,
+                           _expected_codec_backend(features, codec)),
         schema=SHARD_ENTRIES_SCHEMA,
     )
     rows = entries_df.collect()
