@@ -666,8 +666,9 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = emb.unionAll(
         probes.select((-F.col("vec_id") - 1).alias("vec_id"), "embedding")
     )
-    dim = len(emb.select("embedding").first()[0])
-    cents = train_ivf_centroids(aug, dim=dim, n_centroids=64, sample=8192, seed=42)
+    # no first() job for the dimensionality — train_ivf_centroids reads it
+    # from its own sample (the dim argument was never consumed)
+    cents = train_ivf_centroids(aug, n_centroids=64, sample=8192, seed=42)
     topk = cosine_topk_ivf(aug, probes, k=10, centroids=cents, nprobe=8)
     return topk.where(F.col("rnk") == 1).agg(
         F.count("*").cast("long").alias("n_probes"),
