@@ -411,7 +411,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # sides, sizes, hot-overlap); without a persist each one re-runs the
     # scan + substr chain + explode (guide §5: reuse justifies caching).
     # The result is materialized before returning so the cache can be
-    # released here — same pattern as knn_join_distributed.
+    # released here — same pattern as knn_join_distributed. (localCheckpoint
+    # was also measured for the plan-truncation benefit and lost: its
+    # eager materialization job costs more than the plan reuse saves.)
     grams = grams.persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
 
